@@ -1,0 +1,268 @@
+"""Epoch-driven changelog replay: the end-to-end CDC apply pipeline.
+
+Structure (per SURVEY.md §3.2 — the Ray reshaping of otsstreamreader's
+master/slave/checkpoint loop):
+
+    for each epoch (a bounded lsn range [lo, hi) — the micro-batch, DataX's
+    bounded time window [startTs, endTs), RecordProcessor.java:209-216):
+        events  = source(lo, hi)                      # pushdown lsn filter
+                → map_batches(partial_lww_combiner)   # vectorized pre-reduce
+                → map_batches(add part)               # stable hash routing
+                → groupby(part).map_groups(apply)     # THE shuffle; writes
+                                                      #   delta files, returns
+                                                      #   1 metrics row per part
+        manifest.commit_epoch(metrics)                # atomic publish
+        compact partitions whose delta count ≥ compact_every
+
+Exactly-once: delta paths are deterministic per (partition, epoch) and the
+fold is deterministic, so a crashed/retried epoch overwrites identical
+bytes; only the manifest commit makes an epoch visible. Resume =
+re-open the manifest, skip committed epochs (per-partition ``last_lsn``
+carries the source-offset lineage). Epochs are driven from the Python
+driver as bounded Datasets — deliberately NOT a long-running unbounded
+stream, matching the reference's bounded-window design.
+
+Skew: the combiner collapses per-key event storms before the shuffle; for
+Zipf-hot conversations pass ``salt=S`` to spread one conversation's keys
+over S phase-1 groups and re-merge partials by partition in phase 2.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from datax_ray.cdc.merge import (
+    EVENT_WEIGHT_COL,
+    add_partition_column,
+    lww_fold_table,
+    partial_lww_combiner,
+    stable_hash,
+)
+from datax_ray.sinks.lake import atomic_write_parquet, base_path, delta_path
+from datax_ray.state.manifest import Manifest
+
+METRICS_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("file", pa.string()),
+        ("rows", pa.int64()),
+        ("events", pa.int64()),
+        ("bytes", pa.int64()),
+        ("secs", pa.float64()),
+        ("max_lsn", pa.int64()),
+        ("max_ts_ms", pa.int64()),
+    ]
+)
+
+
+def make_epoch_apply(lake_dir: str, epoch: int) -> Callable[[pa.Table], pa.Table]:
+    """Per-partition apply: fold the partition's partials (tombstones kept —
+    a delta must still kill older rows in other epochs), write the delta
+    file atomically, emit one metrics row."""
+
+    def apply(group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        part = int(group["part"][0].as_py())
+        if EVENT_WEIGHT_COL in group.column_names:
+            events = int(pc.sum(group[EVENT_WEIGHT_COL]).as_py() or 0)
+        else:
+            events = group.num_rows
+        folded = lww_fold_table(group, drop_deletes=False)
+        drop = [c for c in (EVENT_WEIGHT_COL,) if c in folded.column_names]
+        if drop:
+            folded = folded.drop_columns(drop)
+        path = delta_path(lake_dir, part, epoch)
+        size = atomic_write_parquet(folded, path)
+        max_lsn = pc.max(folded["lsn"]).as_py()
+        # cast ts→int64 (epoch units of the column) BEFORE max: avoids
+        # naive-datetime/timezone ambiguity on the driver
+        ts_unit = folded["ts"].type.unit if hasattr(folded["ts"].type, "unit") else "ms"
+        max_ts_raw = pc.max(folded["ts"].cast(pa.int64())).as_py()
+        scale = {"s": 1000, "ms": 1, "us": 1 / 1000, "ns": 1 / 1_000_000}.get(ts_unit, 1)
+        max_ts_ms = int(max_ts_raw * scale) if max_ts_raw is not None else 0
+        return pa.table(
+            {
+                "part": [part],
+                "file": [path],
+                "rows": [folded.num_rows],
+                "events": [events],
+                "bytes": [size],
+                "secs": [time.perf_counter() - t0],
+                "max_lsn": [max_lsn if max_lsn is not None else -1],
+                "max_ts_ms": [max_ts_ms],
+            },
+            schema=METRICS_SCHEMA,
+        )
+
+    return apply
+
+
+@dataclass
+class ReplayResult:
+    manifest: Manifest
+    epochs_run: int
+    epochs_skipped: int
+    events_applied: int
+    wall_secs: float
+
+    @property
+    def events_per_sec(self) -> float:
+        return self.events_applied / max(self.wall_secs, 1e-9)
+
+
+def plan_epochs(max_lsn_exclusive: int, epoch_size: int | None) -> list[tuple[int, int]]:
+    if not epoch_size or epoch_size >= max_lsn_exclusive:
+        return [(0, max_lsn_exclusive)]
+    return [
+        (lo, min(lo + epoch_size, max_lsn_exclusive))
+        for lo in range(0, max_lsn_exclusive, epoch_size)
+    ]
+
+
+def replay(
+    source: Callable[[int, int], "object"],
+    *,
+    lake_dir: str,
+    max_lsn_exclusive: int,
+    num_partitions: int = 64,
+    epoch_size: int | None = None,
+    salt: int | None = None,
+    compact_every: int = 8,
+    run_id: str | None = None,
+    source_desc: str = "",
+    verbose: bool = False,
+) -> ReplayResult:
+    """Replay a changelog into the lake; resumable, exactly-once.
+
+    ``source(lsn_lo, lsn_hi)`` must return a Ray ``Dataset`` of change
+    events with lsn in [lo, hi) — e.g. a partial-applied
+    ``sources.parquet.read_changelog`` (the lsn filter is pushed into the
+    parquet read) or a generator-backed dataset.
+    """
+    manifest = Manifest.load_or_create(
+        lake_dir,
+        num_partitions=num_partitions,
+        source=source_desc,
+        run_id=run_id,
+    )
+    committed = manifest.committed_epochs()
+    epochs = plan_epochs(max_lsn_exclusive, epoch_size)
+
+    t_start = time.perf_counter()
+    run_events = 0
+    n_run = 0
+    n_skip = 0
+    for epoch, (lo, hi) in enumerate(epochs):
+        if epoch in committed:
+            n_skip += 1
+            continue
+        t0 = time.perf_counter()
+        ds = source(lo, hi)
+        ds = ds.map_batches(
+            lambda t: partial_lww_combiner(t, with_weights=True),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        if salt:
+            ds = ds.map_batches(
+                lambda t: _add_part_salt(t, num_partitions, salt),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            ds = ds.groupby(["part", "salt"]).map_groups(
+                _phase1_fold, batch_format="pyarrow"
+            )
+            grouped = ds.drop_columns(["salt"]).groupby("part")
+        else:
+            ds = ds.map_batches(
+                lambda t: add_partition_column(t, num_partitions),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            grouped = ds.groupby("part")
+        metrics_rows = grouped.map_groups(
+            make_epoch_apply(lake_dir, epoch), batch_format="pyarrow"
+        ).take_all()
+        wall = time.perf_counter() - t0
+        manifest.commit_epoch(epoch, lo, hi, metrics_rows, wall)
+        ev = sum(int(r["events"]) for r in metrics_rows)
+        run_events += ev
+        n_run += 1
+        if verbose:
+            print(
+                f"[replay] epoch {epoch} lsn=[{lo},{hi}) events={ev} "
+                f"parts={len(metrics_rows)} wall={wall:.2f}s "
+                f"({ev / max(wall, 1e-9):,.0f} ev/s)"
+            )
+        _maybe_compact(manifest, lake_dir, epoch, compact_every)
+
+    return ReplayResult(
+        manifest=manifest,
+        epochs_run=n_run,
+        epochs_skipped=n_skip,
+        events_applied=run_events,
+        wall_secs=time.perf_counter() - t_start,
+    )
+
+
+def _add_part_salt(t: pa.Table, num_partitions: int, salt: int) -> pa.Table:
+    t = add_partition_column(t, num_partitions)
+    s = (stable_hash(t["turn_idx"]) % np.uint64(salt)).astype(np.int32)
+    return t.append_column("salt", pa.array(s, type=pa.int32()))
+
+
+def _phase1_fold(group: pa.Table) -> pa.Table:
+    return lww_fold_table(group, drop_deletes=False, weight_col=EVENT_WEIGHT_COL)
+
+
+def _maybe_compact(manifest: Manifest, lake_dir: str, epoch: int, compact_every: int) -> None:
+    """Fold base+deltas into a fresh base snapshot for partitions whose
+    delta chain grew past ``compact_every`` (RocksDB-style compaction).
+
+    Tombstones are RETAINED in the base: a later epoch may still deliver an
+    out-of-order event with an *older* ts for a deleted key, and it must
+    lose LWW against the tombstone — dropping tombstones here would
+    resurrect deleted rows (no event-time watermark exists to bound
+    disorder, so tombstones are GC'd only at final read). Same reasoning as
+    RocksDB not dropping tombstones until bottom-level compaction."""
+    if not compact_every:
+        return
+    todo = [
+        int(p)
+        for p, st in manifest.state["partitions"].items()
+        if len(st["deltas"]) >= compact_every
+    ]
+    if not todo:
+        return
+    import ray.data as rd
+
+    specs = [
+        {"part": p, "files": manifest.partition_files(p), "out": base_path(lake_dir, p, epoch)}
+        for p in todo
+    ]
+
+    def compact(batch) -> pa.Table:
+        from datax_ray.sinks.lake import fold_partition_files
+
+        part = int(batch["part"][0])
+        files = list(batch["files"][0])
+        out = str(batch["out"][0])
+        state = fold_partition_files(files, drop_deletes=False)
+        atomic_write_parquet(state, out)
+        return pa.table({"part": [part], "out": [out], "n": [len(files)]})
+
+    results = (
+        rd.from_items(specs)
+        .map_batches(compact, batch_size=1, batch_format="pandas")
+        .take_all()
+    )
+    for spec, _r in zip(specs, results):
+        manifest.commit_compaction(
+            int(spec["part"]), spec["out"], removed=list(spec["files"])
+        )

@@ -1,0 +1,113 @@
+"""Exactly-once Parquet lake: per-(partition, epoch) delta files + manifest.
+
+Layout (one directory per hash partition — resumable, a failed run re-runs
+only uncommitted epochs; never one giant file):
+
+    lake/
+      _MANIFEST.json                  # the atomic commit point (state/manifest.py)
+      data/part=00017/delta-000003.parquet
+      data/part=00017/base-000002.parquet   # compaction snapshot
+
+Write protocol per (partition, epoch): write ``<path>.tmp.<pid>`` then
+``os.replace`` — the DataX hdfswriter tmp+rename contract
+(hdfswriter/.../HdfsWriter.java:149-192, HdfsHelper.java:207-246) done
+per-file; visibility is still gated on the manifest, so a crash between
+file write and manifest commit leaves invisible garbage that the re-run
+overwrites byte-identically (deterministic fold ⇒ idempotent).
+
+Read protocol: current state of partition p = LWW-fold of
+[base?, delta_e1, delta_e2, ...] in epoch order with tombstones dropped;
+schema evolution handled by aligning every file onto the unified schema
+(old committed files keep their old schema — unify on read).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from datax_ray.cdc.merge import lww_fold_chain
+from datax_ray.state.manifest import Manifest
+
+
+def partition_dir(lake_dir: str, part: int) -> str:
+    return os.path.join(lake_dir, "data", f"part={part:05d}")
+
+
+def delta_path(lake_dir: str, part: int, epoch: int) -> str:
+    return os.path.join(partition_dir(lake_dir, part), f"delta-{epoch:06d}.parquet")
+
+
+def base_path(lake_dir: str, part: int, epoch: int) -> str:
+    return os.path.join(partition_dir(lake_dir, part), f"base-{epoch:06d}.parquet")
+
+
+def atomic_write_parquet(table: pa.Table, path: str, compression: str = "zstd") -> int:
+    """Write-tmp + rename; returns bytes written. Safe to re-run."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp, compression=compression)
+    size = os.path.getsize(tmp)
+    os.replace(tmp, path)
+    return size
+
+
+def fold_partition_files(files: list[str], *, drop_deletes: bool = True) -> pa.Table | None:
+    """Fold committed files of one partition into its current state."""
+    if not files:
+        return None
+    tables = [pq.read_table(f) for f in files]
+    return lww_fold_chain(tables, drop_deletes=drop_deletes)
+
+
+def read_lake(lake_dir: str, *, columns: list[str] | None = None):
+    """Current table state as a Dataset — one read+fold task per partition
+    (P independent tasks; no shuffle: files are already key-partitioned)."""
+    import ray.data as rd
+
+    manifest = Manifest.load(lake_dir)
+    specs = [
+        {"part": p, "files": manifest.partition_files(p)}
+        for p in range(manifest.num_partitions)
+        if manifest.partition_files(p)
+    ]
+    if not specs:
+        from datax_ray.schema import TRANSCRIPT_SCHEMA
+
+        return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+
+    def load(batch) -> pa.Table:
+        part = int(batch["part"][0])
+        files = list(batch["files"][0])
+        t = fold_partition_files(files, drop_deletes=True)
+        if columns:
+            t = t.select([c for c in columns if c in t.column_names])
+        return t
+
+    return rd.from_items(specs).map_batches(load, batch_size=1, batch_format="pandas")
+
+
+def read_lake_table(lake_dir: str) -> pa.Table:
+    """Driver-side full read (small lakes / tests only): folded state sorted
+    by (conv_id, turn_idx) — the stable output ordering invariant."""
+    manifest = Manifest.load(lake_dir)
+    tables = []
+    for p in range(manifest.num_partitions):
+        t = fold_partition_files(manifest.partition_files(p), drop_deletes=True)
+        if t is not None and t.num_rows:
+            tables.append(t)
+    if not tables:
+        from datax_ray.schema import TRANSCRIPT_SCHEMA
+
+        return TRANSCRIPT_SCHEMA.empty_table()
+    from datax_ray.schema import concat_aligned
+
+    out = concat_aligned(tables)
+    drop = [c for c in ("part",) if c in out.column_names]
+    if drop:
+        out = out.drop_columns(drop)
+    return out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
