@@ -98,11 +98,14 @@ def add_lang_id(batch: pa.Table, col: str = "text", out: str = "lang_pred") -> p
 
 
 def add_fingerprint(batch: pa.Table, col: str = "text", out: str = "fingerprint") -> pa.Table:
-    """md5 of lowercase whitespace-collapsed text — the canonical-form
-    document fingerprint (SQL: md5(regexp_replace(lower(trim(text)),
-    '\\s+', ' ', 'g')))."""
+    """md5 of lowercase whitespace-collapsed, edge-stripped text — the
+    canonical-form document fingerprint. Pure-regex normalization so the
+    SQL oracle (DuckDB, same RE2) is bit-identical:
+    md5(regexp_replace(regexp_replace(lower(text),'\\s+',' ','g'),'^ | $','','g'))."""
     norm = pc.replace_substring_regex(
-        pc.utf8_lower(pc.utf8_trim_whitespace(batch[col])), r"\s+", " "
+        pc.replace_substring_regex(pc.utf8_lower(batch[col]), r"\s+", " "),
+        r"^ | $",
+        "",
     )
     arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
     digests = [

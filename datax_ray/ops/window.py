@@ -1,0 +1,76 @@
+"""Streaming-shaped operators over the ``events`` table: tumbling-window
+aggregation and gap-based sessionization.
+
+Ray Data has no event-time windows; per the engine's design (SURVEY.md
+§2.5) windows are expressed as: derive the window key vectorized →
+``groupby`` aggregate (tumbling), or ``groupby(key).map_groups`` over the
+per-key ts-sorted group (sessions). Ordering assumption: all events of one
+key fit one group (Ray's groupby guarantees key co-location)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def add_tumbling_window(batch: pa.Table, *, ts_col: str = "ts",
+                        every_ms: int = 3_600_000, out: str = "window") -> pa.Table:
+    """window = floor(ts / every) as a timestamp — matches SQL
+    date_trunc for hour/minute/day when ``every`` divides them."""
+    unit = batch[ts_col].type.unit
+    per_ms = {"s": 1 / 1000, "ms": 1, "us": 1000, "ns": 1_000_000}[unit]
+    raw = batch[ts_col].cast(pa.int64())
+    every = int(every_ms * per_ms)
+    win = pc.multiply(pc.divide(raw, every), every)  # int division floors
+    return batch.append_column(out, win.cast(batch[ts_col].type))
+
+
+def tumbling_agg(ds, *, key_col: str = "event_type", ts_col: str = "ts",
+                 every_ms: int = 3_600_000, value_col: str = "value",
+                 digits: int = 4):
+    """count + sum(value) per (key, window). The groupby input is already
+    tiny relative to the events (pre-aggregation happens implicitly via
+    Ray's partial aggregates)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = ds.map_batches(
+        lambda t: add_tumbling_window(t, ts_col=ts_col, every_ms=every_ms),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = ds.groupby([key_col, "window"]).aggregate(
+        Count(alias_name="n"), Sum(value_col, alias_name="sum_value")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_value"),
+            "sum_value",
+            pc.round(t["sum_value"], ndigits=digits),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+               gap_ms: int = 1_800_000):
+    """Gap-based sessions per key: events sorted by ts; a gap > gap_ms
+    starts a new session. Output one row per session:
+    (key, session_start, session_end, n_events)."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col]).reset_index(drop=True)
+        ts = g[ts_col]
+        gap = ts.diff().dt.total_seconds().mul(1000).fillna(np.inf)
+        sid = (gap > gap_ms).cumsum()
+        out = g.groupby(sid).agg(
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+            n_events=(ts_col, "size"),
+        ).reset_index(drop=True)
+        out.insert(0, key_col, g[key_col].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")

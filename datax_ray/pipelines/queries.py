@@ -1,0 +1,698 @@
+"""Driver-contract query pipelines: every operator from SURVEY.md §2 as a
+callable over an sf_dir of testdata parquet, each paired with an ANSI-SQL
+oracle in ``ORACLES`` (run by the driver through DuckDB on the same
+tables). Column names and value precision match the SQL exactly — integer
+cents for money sums (float sum association differs between engines),
+fixed rounding everywhere else.
+
+The CDC queries derive a changelog from the ``events`` table with a pure
+deterministic row-wise mapping (expressed identically in SQL), then run
+the REAL engine merge — so the driver's value-hash check covers the whole
+merge path (combiner → hash shuffle → vectorized LWW fold → tombstone
+drop), not a reimplementation."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from datax_ray.cdc.merge import lww_merge
+from datax_ray.ops.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash_candidates,
+)
+from datax_ray.ops.joins import broadcast_join
+from datax_ray.ops.similarity import knn_bruteforce
+from datax_ray.ops.text import (
+    add_fingerprint,
+    add_lang_id,
+    add_quality,
+    add_token_counts,
+)
+from datax_ray.ops.window import sessionize, tumbling_agg
+from datax_ray.transforms import DxFilter, DxPad, DxReplace, DxSubstr, TransformChain
+
+_ROLES = np.array(["system", "user", "assistant", "tool"], dtype=object)
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _read(sf_dir: str, table: str, columns=None, filter=None):
+    return _rd().read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns, filter=filter
+    )
+
+
+# --------------------------------------------------------------- CDC core
+#: SQL fragment deriving the changelog from events — keep in lockstep with
+#: ``derive_changelog_batch`` below.
+CHANGELOG_CTE = """
+changelog AS (
+  SELECT
+    event_id AS lsn,
+    CASE WHEN event_id % 10 < 6 THEN 'I'
+         WHEN event_id % 10 < 9 THEN 'U' ELSE 'D' END AS op,
+    'conv_' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+    CAST(event_id % 8 AS INTEGER) AS turn_idx,
+    CASE WHEN event_id % 10 >= 9 THEN NULL ELSE
+      CASE CAST(event_id % 4 AS INTEGER)
+        WHEN 0 THEN 'system' WHEN 1 THEN 'user'
+        WHEN 2 THEN 'assistant' ELSE 'tool' END END AS role,
+    CASE WHEN event_id % 10 >= 9 THEN NULL ELSE props END AS text,
+    CASE WHEN event_id % 10 >= 9 OR event_id % 3 <> 0 THEN NULL
+         ELSE event_type END AS tool,
+    ts
+  FROM events)
+"""
+
+LWW_FOLD_SQL = """
+SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM {src})
+WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def derive_changelog_batch(t: pa.Table) -> pa.Table:
+    """Vectorized event→change-event mapping (numpy; no row loops)."""
+    eid = np.asarray(t["event_id"])
+    uid = np.asarray(t["user_id"])
+    m10 = eid % 10
+    op = np.full(len(eid), "U", dtype=object)
+    op[m10 < 6] = "I"
+    op[m10 >= 9] = "D"
+    conv = np.char.add("conv_", (uid % 50).astype("U20")).astype(object)
+    turn = (eid % 8).astype(np.int32)
+    role = _ROLES[eid % 4].copy()
+    text = np.asarray(t["props"], dtype=object).copy()
+    tool = np.where(eid % 3 == 0, np.asarray(t["event_type"], dtype=object), None)
+    is_d = m10 >= 9
+    role[is_d] = None
+    text[is_d] = None
+    tool[is_d] = None
+    return pa.table(
+        {
+            "lsn": pa.array(eid.astype(np.int64)),
+            "op": pa.array(op, pa.string()),
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(turn, pa.int32()),
+            "role": pa.array(role, pa.string()),
+            "text": pa.array(text, pa.string()),
+            "tool": pa.array(tool, pa.string()),
+            "ts": t["ts"],
+        }
+    )
+
+
+_EVENT_COLS = ["event_id", "user_id", "event_type", "props", "ts"]
+
+
+def _changelog(sf_dir: str, filter=None):
+    return _read(sf_dir, "events", columns=_EVENT_COLS, filter=filter).map_batches(
+        derive_changelog_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _final_cols(ds):
+    return ds.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_cdc_lww_merge(sf_dir: str):
+    return _final_cols(lww_merge(_changelog(sf_dir), num_partitions=16))
+
+
+def q_cdc_lww_merge_salted(sf_dir: str):
+    return _final_cols(lww_merge(_changelog(sf_dir), num_partitions=16, salt=4))
+
+
+def q_cdc_dup_redelivery(sf_dir: str):
+    """Source re-delivery: events with lsn % 7 == 0 delivered twice; the
+    fold must be idempotent (same result as the clean replay)."""
+    import numpy as np  # noqa: F811
+
+    clean = _changelog(sf_dir)
+    dup = _changelog(sf_dir).map_batches(
+        lambda t: t.filter(pa.array(np.asarray(t["lsn"]) % 7 == 0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _final_cols(lww_merge(clean.union(dup), num_partitions=16))
+
+
+_WINDOW = ("2024-01-08 00:00:00", "2024-01-24 00:00:00")
+
+
+def q_cdc_window(sf_dir: str):
+    import datetime as dt
+
+    lo = dt.datetime.fromisoformat(_WINDOW[0])
+    hi = dt.datetime.fromisoformat(_WINDOW[1])
+    ds = _read(
+        sf_dir, "events", columns=_EVENT_COLS,
+        filter=((pc.field("ts") >= lo) & (pc.field("ts") < hi)),
+    ).map_batches(derive_changelog_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return _final_cols(lww_merge(ds, num_partitions=16))
+
+
+def q_cdc_op_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return _changelog(sf_dir).groupby("op").aggregate(Count(alias_name="n"))
+
+
+# ------------------------------------------------------------- transforms
+def _rename(ds, mapping: dict[str, str]):
+    def f(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_dx_substr(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        TransformChain([DxSubstr("text", 5, 20)]), batch_format="pyarrow"
+    )
+    return _rename(ds, {"text": "text_sub"})
+
+
+def q_dx_pad(sf_dir: str):
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    ds = ds.map_batches(
+        TransformChain([DxPad("p_brand", "r", 10, "*")]), batch_format="pyarrow"
+    )
+    return _rename(ds, {"p_brand": "brand_pad"})
+
+
+def q_dx_replace(sf_dir: str):
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    ds = ds.map_batches(
+        TransformChain([DxReplace("p_type", 4, 3, "XYZ")]), batch_format="pyarrow"
+    )
+    return _rename(ds, {"p_type": "type_repl"})
+
+
+def q_dx_filter_like(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        TransformChain([DxFilter("text", "like", "the.*")]), batch_format="pyarrow"
+    )
+
+
+def q_transform_chain(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    chain = TransformChain(
+        [
+            DxSubstr("text", 0, 40),
+            DxFilter("text", "like", ".*data.*"),
+            DxPad("text", "r", 40, "_"),
+        ]
+    )
+    ds = ds.map_batches(chain, batch_format="pyarrow")
+    return _rename(ds, {"text": "text_out"})
+
+
+# ---------------------------------------------------------- copy pipeline
+def q_copy_project_filter(sf_dir: str):
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    return ds.map_batches(
+        TransformChain([DxFilter("l_quantity", ">=", "25")]), batch_format="pyarrow"
+    )
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """reader→writer round-trip: parquet → typed CSV → typed read-back."""
+    from datax_ray.sinks.csvsink import list_output_files, write_csv
+    from datax_ray.sources.csvsource import read_csv
+
+    out = f"/tmp/datax_ray_q/csv_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"])
+    write_csv(ds, out, write_mode="truncate")
+    return read_csv(
+        list_output_files(out),
+        columns=[
+            {"index": 0, "type": "long", "name": "l_orderkey"},
+            {"index": 1, "type": "long", "name": "l_linenumber"},
+            {"index": 2, "type": "string", "name": "l_returnflag"},
+            {"index": 3, "type": "date", "format": "yyyy-MM-dd HH:mm:ss",
+             "name": "l_shipdate"},
+        ],
+    )
+
+
+def q_stream_constants(sf_dir: str):
+    """streamreader self-check analogue: typed constant rows × slices."""
+    from datax_ray.sources.stream import stream_dataset
+
+    return stream_dataset(
+        [
+            {"type": "string", "value": "hello", "name": "c_str"},
+            {"type": "long", "value": 42, "name": "c_long"},
+            {"type": "double", "value": 3.14, "name": "c_double"},
+            {"type": "bool", "value": "true", "name": "c_bool"},
+            {"type": "date", "value": "2024-01-01 00:00:00", "name": "c_date"},
+        ],
+        rows_per_slice=250,
+        n_slices=4,
+    )
+
+
+# -------------------------------------------------------------- aggregates
+def q_agg_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate; money summed as integer cents so
+    the result is association-order-independent and matches SQL exactly."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].cast(pa.int64())
+        base_c = pc.round(
+            pc.multiply(t["l_extendedprice"], 100.0),
+            round_mode="half_towards_infinity",   # SQL round() = half away from zero
+        ).cast(pa.int64())
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+        )
+        disc_c = pc.round(
+            pc.multiply(disc, 100.0), round_mode="half_towards_infinity"
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": qty,
+                "base_cents": base_c,
+                "disc_cents": disc_c,
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        avg = pc.round(
+            pc.divide(t["sum_qty"].cast(pa.float64()),
+                      t["count_order"].cast(pa.float64())),
+            ndigits=6,
+        )
+        return t.append_column("avg_qty", avg)
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
+def q_events_windowed_agg(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.round(
+            pc.multiply(t["value"], 100.0), round_mode="half_towards_infinity"
+        ).cast(pa.int64())
+        return t.set_column(t.schema.get_field_index("value"), "value", v)
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = tumbling_agg(ds, key_col="event_type", ts_col="ts",
+                       every_ms=3_600_000, value_col="value")
+    return _rename(out, {"sum_value": "sum_value_cents"})
+
+
+def q_events_sessionize(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return sessionize(ds, key_col="user_id", ts_col="ts", gap_ms=1_800_000)
+
+
+def q_topk_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_distinct_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "customer", columns=["c_mktsegment"])
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_join_orders_mktsegment(sf_dir: str):
+    """Broadcast dimension join (customer is the small side)."""
+    cust = (
+        pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                      columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return broadcast_join(orders, cust, on="o_custkey", how="inner")
+
+
+# -------------------------------------------------------- dedup / text / sim
+def q_dedup_exact(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds, num_partitions=8)
+
+
+def q_text_tokens(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: add_token_counts(t).select(["doc_id", "n_tokens", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_text_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: add_quality(t).select(
+            ["doc_id", "punct_ratio", "stopword_ratio", "mean_token_len"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_text_langid(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: add_lang_id(t).select(["doc_id", "lang_pred"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_text_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: add_fingerprint(t).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+_KNN_Q = 8
+_KNN_K = 5
+
+
+def q_knn_bruteforce(sf_dir: str):
+    qtab = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", _KNN_Q)],
+    )
+    qids = np.asarray(qtab["vec_id"])
+    qmat = np.stack(qtab["embedding"].to_numpy(zero_copy_only=False))
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_bruteforce(ds, qids, qmat, k=_KNN_K)
+
+
+# rows-only (non-SQL-expressible) pipelines -------------------------------
+def q_minhash_lsh_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_candidates(ds, num_perm=64, bands=16, shingle_k=3,
+                                  threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_candidates(ds, max_hamming=6)
+
+
+def q_embedding_neardup(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, dim=64, n_bits=6, threshold=0.98)
+
+
+def q_multimodal_features(sf_dir: str):
+    from datax_ray.ops.multimodal import extract_image_features, synthetic_media_table
+
+    t = synthetic_media_table(512, seed=42)
+    return extract_image_features(_rd().from_arrow(t), feature_dim=8,
+                                  concurrency=2, batch_size=64)
+
+
+def q_cdc_schema_evolution(sf_dir: str):
+    """Schema evolution through the real merge: events past the midpoint
+    carry a new nullable column; result keeps evolved schema with
+    null-filled history (engine-verified; rows-only driver check)."""
+    meta = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
+    mid = meta.num_rows // 2  # evolution point scales with the data
+
+    def evolve(t: pa.Table) -> pa.Table:
+        t = derive_changelog_batch(t)
+        lsn = np.asarray(t["lsn"])
+        extra = np.where(
+            (lsn >= mid) & np.asarray(pc.is_valid(t["role"])),
+            np.char.add("arg_", lsn.astype("U20")).astype(object),
+            None,
+        )
+        return t.append_column("tool_args", pa.array(extra, pa.string()))
+
+    ds = _read(sf_dir, "events", columns=_EVENT_COLS).map_batches(
+        evolve, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = lww_merge(ds, num_partitions=16)
+    return merged.map_batches(
+        lambda t: t.select(
+            ["conv_id", "turn_idx", "role", "text", "tool", "ts", "tool_args"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ------------------------------------------------------------------ oracle
+_Q1_SQL = """
+WITH {cte}
+{fold}
+""".strip()
+
+
+def _fold_sql(extra_cte: str = "", src: str = "changelog", where: str = "") -> str:
+    cte = CHANGELOG_CTE + extra_cte
+    fold = LWW_FOLD_SQL.format(src=src)
+    if where:
+        fold = fold.replace("FROM {0})".format(src), f"FROM {src} WHERE {where})")
+    return "WITH " + cte.strip() + "\n" + fold
+
+
+ORACLES: dict[str, str] = {
+    "cdc_lww_merge": _fold_sql(),
+    "cdc_lww_merge_salted": _fold_sql(),
+    "cdc_dup_redelivery": _fold_sql(
+        extra_cte=""",
+ with_dups AS (
+   SELECT * FROM changelog
+   UNION ALL SELECT * FROM changelog WHERE lsn % 7 = 0)""",
+        src="with_dups",
+    ),
+    "cdc_window": _fold_sql(
+        where=(
+            f"ts >= TIMESTAMP '{_WINDOW[0]}' AND ts < TIMESTAMP '{_WINDOW[1]}'"
+        )
+    ),
+    "cdc_op_counts": (
+        "WITH " + CHANGELOG_CTE.strip()
+        + "\nSELECT op, count(*) AS n FROM changelog GROUP BY op"
+    ),
+    "dx_substr": (
+        "SELECT doc_id, substr(text, 6, 20) AS text_sub "
+        "FROM documents WHERE length(text) >= 5"
+    ),
+    "dx_pad": "SELECT p_partkey, rpad(p_brand, 10, '*') AS brand_pad FROM part",
+    "dx_replace": (
+        "SELECT p_partkey, substr(p_type, 1, 4) || 'XYZ' || substr(p_type, 8) "
+        "AS type_repl FROM part WHERE length(p_type) >= 4"
+    ),
+    "dx_filter_like": (
+        "SELECT doc_id, text FROM documents "
+        "WHERE NOT regexp_full_match(text, 'the.*')"
+    ),
+    "transform_chain": (
+        "WITH s AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents) "
+        "SELECT doc_id, rpad(t, 40, '_') AS text_out FROM s "
+        "WHERE NOT regexp_full_match(t, '.*data.*')"
+    ),
+    "copy_project_filter": (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+        "FROM lineitem WHERE NOT (l_quantity >= 25)"
+    ),
+    "csv_roundtrip": (
+        "SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate FROM lineitem"
+    ),
+    "stream_constants": (
+        "SELECT 'hello' AS c_str, CAST(42 AS BIGINT) AS c_long, "
+        "3.14 AS c_double, TRUE AS c_bool, "
+        "TIMESTAMP '2024-01-01 00:00:00' AS c_date FROM range(1000)"
+    ),
+    "agg_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_cents,
+  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+      AS sum_disc_cents,
+  count(*) AS count_order,
+  round(sum(CAST(l_quantity AS BIGINT)) / CAST(count(*) AS DOUBLE), 6) AS avg_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""".strip(),
+    "events_windowed_agg": """
+SELECT event_type, date_trunc('hour', ts) AS window, count(*) AS n,
+  sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+""".strip(),
+    "events_sessionize": """
+WITH d AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+""".strip(),
+    "topk_orders": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+    "distinct_counts": (
+        "SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment"
+    ),
+    "join_orders_mktsegment": (
+        "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
+        "JOIN customer ON o_custkey = c_custkey"
+    ),
+    "dedup_exact": """
+WITH fp AS (
+  SELECT doc_id, text,
+    md5(regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+        '^ | $', '', 'g')) AS f
+  FROM documents)
+SELECT doc_id, text FROM fp
+WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)
+""".strip(),
+    "text_tokens": r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+       AS BIGINT) AS n_bpe_tokens
+FROM documents
+""".strip(),
+    "text_quality": r"""
+SELECT doc_id,
+  round(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))
+        / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
+  round(len(regexp_extract_all(lower(text),
+        '\b(the|and|of|to|in|is|that|for|with)\b'))
+        / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0), 6)
+        AS stopword_ratio,
+  round(CAST(length(text) AS DOUBLE)
+        / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0), 6)
+        AS mean_token_len
+FROM documents
+""".strip(),
+    "text_langid": r"""
+WITH c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit|für)\b')) AS de,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with)\b')) AS en,
+    len(regexp_extract_all(lower(text), '\b(el|la|los|y|es|una|para|con|que)\b')) AS es,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|pour|dans|que)\b')) AS fr
+  FROM documents)
+SELECT doc_id, CASE
+  WHEN de = 0 AND en = 0 AND es = 0 AND fr = 0 THEN 'unk'
+  WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+  WHEN en >= es AND en >= fr THEN 'en'
+  WHEN es >= fr THEN 'es'
+  ELSE 'fr' END AS lang_pred
+FROM c
+""".strip(),
+    "text_fingerprint": r"""
+SELECT doc_id,
+  md5(regexp_replace(regexp_replace(lower(text), '\s+', ' ', 'g'),
+      '^ | $', '', 'g')) AS fingerprint
+FROM documents
+""".strip(),
+    "knn_bruteforce": f"""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < {_KNN_Q}),
+s AS (SELECT q.qid, e.vec_id AS nid,
+        round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS cos
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+      FROM s)
+SELECT qid AS query_id, nid AS neighbor_id, cos AS cosine, rk AS "rank"
+FROM r WHERE rk <= {_KNN_K}
+""".strip(),
+}
+
+QUERIES = {
+    "cdc_lww_merge": q_cdc_lww_merge,
+    "cdc_lww_merge_salted": q_cdc_lww_merge_salted,
+    "cdc_dup_redelivery": q_cdc_dup_redelivery,
+    "cdc_window": q_cdc_window,
+    "cdc_op_counts": q_cdc_op_counts,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
+    "dx_substr": q_dx_substr,
+    "dx_pad": q_dx_pad,
+    "dx_replace": q_dx_replace,
+    "dx_filter_like": q_dx_filter_like,
+    "transform_chain": q_transform_chain,
+    "copy_project_filter": q_copy_project_filter,
+    "csv_roundtrip": q_csv_roundtrip,
+    "stream_constants": q_stream_constants,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "events_windowed_agg": q_events_windowed_agg,
+    "events_sessionize": q_events_sessionize,
+    "topk_orders": q_topk_orders,
+    "distinct_counts": q_distinct_counts,
+    "join_orders_mktsegment": q_join_orders_mktsegment,
+    "dedup_exact": q_dedup_exact,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "knn_bruteforce": q_knn_bruteforce,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_neardup": q_embedding_neardup,
+    "multimodal_features": q_multimodal_features,
+}

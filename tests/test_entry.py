@@ -1,0 +1,114 @@
+"""Driver-contract emulation: run every queries() entry at sf0.001 and
+compare against its oracle_sql() through DuckDB, mimicking the driver's
+row-count + schema + order-insensitive value comparison (columns sorted by
+name, rows sorted by all columns)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = os.environ.get("ENTRY_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def oracle_run(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    out = con.execute(sql).fetchdf()
+    con.close()
+    return out
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_smoke():
+    import __ray_entry__ as e
+
+    res = e.entry()
+    df = to_pandas(res)
+    assert len(df) > 0
+    assert set(df.columns) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+
+
+def _oracle_cases():
+    import __ray_entry__ as e
+
+    o = e.oracle_sql()
+    return sorted(o.keys())
+
+
+def _rows_only_cases():
+    import __ray_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    return sorted(set(q) - set(o))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", _oracle_cases())
+def test_query_matches_oracle(name):
+    import __ray_entry__ as e
+
+    got = normalize(to_pandas(e.queries()[name](SF_DIR)))
+    want = normalize(oracle_run(e.oracle_sql()[name]))
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    for c in got.columns:
+        if pd.api.types.is_float_dtype(want[c]):
+            assert np.allclose(got[c].to_numpy(), want[c].to_numpy(),
+                               rtol=0, atol=1e-9, equal_nan=True), f"{name}.{c}"
+        else:
+            ok = (got[c].to_numpy() == want[c].to_numpy()) | (
+                got[c].isna().to_numpy() & want[c].isna().to_numpy()
+            )
+            assert ok.all(), (
+                f"{name}.{c}: first mismatch at row {int(np.argmin(ok))}: "
+                f"{got[c][~ok].head(3).tolist()} != {want[c][~ok].head(3).tolist()}"
+            )
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", _rows_only_cases())
+def test_rows_only_queries_run(name):
+    import __ray_entry__ as e
+
+    df = to_pandas(e.queries()[name](SF_DIR))
+    assert df is not None and len(df) >= 0
+    if name == "cdc_schema_evolution":
+        assert "tool_args" in df.columns and df["tool_args"].notna().any()
+    if name == "multimodal_features":
+        assert len(df) == 512
