@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: end-to-end CDC change-event apply throughput (the BASELINE.md
+metric): replay a deterministic synthetic changelog (BENCH_EVENTS events,
+default 4M — generated once into /tmp and reused) through the full engine
+path (read → combiner → hash shuffle → LWW fold → exactly-once lake
+commit), measured as raw events applied / wall seconds.
+
+Also times a representative query subset over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1).
+
+  python bench.py               # one run at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling     # fresh processes at 8 and 32 CPUs on the
+                                # SAME input → throughputs + efficiency
+
+Env: RAY_GRAFT_CPUS, GRAFT_SF_DIR, BENCH_EVENTS, BENCH_REPLAY_ONLY=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_DIR = "/tmp/datax_ray_bench"
+
+
+def prep_changelog(spec, n_blocks_parallel: int) -> str:
+    """Generate the bench changelog once (parallel ray tasks, idempotent
+    per-block files); cached across runs and CPU levels — both scaling
+    runs replay the SAME bytes."""
+    import ray
+
+    from datax_ray.sources.generators import generate_changelog_block
+
+    tag = f"ev{spec.n_events}_s{spec.seed}"
+    out = os.path.join(BENCH_DIR, f"changelog_{tag}")
+    os.makedirs(out, exist_ok=True)
+    missing = [
+        b for b in range(spec.n_blocks)
+        if not os.path.exists(os.path.join(out, f"block-{b:05d}.parquet"))
+    ]
+    if missing:
+        @ray.remote
+        def gen(b: int) -> int:
+            import pyarrow.parquet as pq
+
+            path = os.path.join(out, f"block-{b:05d}.parquet")
+            t = generate_changelog_block(spec, b)
+            pq.write_table(t, path + ".tmp", compression="zstd")
+            os.replace(path + ".tmp", path)
+            return t.num_rows
+
+        ray.get([gen.remote(b) for b in missing])
+    return out
+
+
+def warm_cache(path: str) -> None:
+    for f in os.listdir(path):
+        with open(os.path.join(path, f), "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_events = int(os.environ.get("BENCH_EVENTS", "64000000"))
+
+    ray.init(
+        address="local", num_cpus=ncpu, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from datax_ray.cdc.replay import replay_files
+    from datax_ray.sources.generators import ChangelogSpec
+
+    spec = ChangelogSpec(
+        n_events=n_events,
+        n_convs=max(1000, n_events // 50),
+        max_turns=16,
+        n_blocks=max(32, n_events // 250_000),
+        ooo_fraction=0.05,
+        dup_fraction=0.02,
+        zipf_a=1.1,
+        seed=42,
+    )
+    changelog = prep_changelog(spec, ncpu)
+    warm_cache(changelog)
+
+    # warm the worker pool (process spawn is cluster bring-up, not
+    # steady-state throughput; both scaling levels get the same treatment)
+    @ray.remote
+    def _noop():
+        return 0
+
+    ray.get([_noop.remote() for _ in range(2 * ncpu)])
+
+    lake = os.path.join(BENCH_DIR, f"lake_cpu{ncpu}")
+    shutil.rmtree(lake, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    res = replay_files(
+        changelog,
+        lake_dir=lake,
+        max_lsn_exclusive=spec.n_events,
+        num_partitions=32,            # fixed across CPU levels for scaling
+        epoch_size=spec.n_events // 4,
+        compact_every=0,
+    )
+    replay_secs = time.perf_counter() - t0
+    events_per_sec = res.events_applied / replay_secs
+
+    out = {
+        "metric": "cdc_replay_events_apply",
+        "value": round(replay_secs, 3),
+        "unit": "sec",
+        "sf": 0.1,
+        "num_cpus": ncpu,
+        "events": res.events_applied,
+        "events_per_sec": round(events_per_sec, 1),
+        "queries": {},
+    }
+
+    if not os.environ.get("BENCH_REPLAY_ONLY"):
+        from datax_ray.pipelines import queries as Q
+
+        subset = [
+            "cdc_lww_merge",
+            "cdc_lww_merge_salted",
+            "agg_pricing_summary",
+            "events_windowed_agg",
+            "events_sessionize",
+            "dedup_exact",
+            "text_quality",
+            "knn_bruteforce",
+            "minhash_lsh_pairs",
+        ]
+        for name in subset:
+            t0 = time.perf_counter()
+            resq = Q.QUERIES[name](sf_dir)
+            n = resq.count() if hasattr(resq, "count") else len(resq)
+            out["queries"][name] = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job, same input, fresh interpreter at 8 then 32 CPUs — the
+    in-sandbox evidence for the N→4N cluster-scaling criterion."""
+    res = {}
+    for ncpu in (8, 32):
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPLAY_ONLY="1"
+        )
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        res[ncpu] = json.loads(p.stdout.strip().splitlines()[-1])
+    tput8 = res[8]["events_per_sec"]
+    tput32 = res[32]["events_per_sec"]
+    return {
+        "metric": "cdc_replay_scaling",
+        "value": round(tput32 / (4 * tput8), 3),
+        "unit": "efficiency(T32/(4*T8))",
+        "events_per_sec_8": tput8,
+        "events_per_sec_32": tput32,
+        "sec_8": res[8]["value"],
+        "sec_32": res[32]["value"],
+        "events": res[32]["events"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -98,7 +98,7 @@ def generate_transcripts_block(spec: TranscriptSpec, block_id: int) -> pa.Table:
     conv = np.repeat(np.arange(lo, hi, dtype=np.int64), spec.turns_per_conv)
     turn = np.tile(np.arange(spec.turns_per_conv, dtype=np.int32), n_convs)
     n = len(conv)
-    conv_id = pd.Series(conv).map("conv_{:08d}".format).to_numpy(dtype=object)
+    conv_id = np.char.add("conv_", np.char.zfill(conv.astype("U8"), 8)).astype(object)
     role = _ROLES[turn % len(_ROLES)]
     tool = np.where(role == "tool", _TOOLS[conv % len(_TOOLS)], None)
     rowid = conv * spec.turns_per_conv + turn
@@ -148,7 +148,7 @@ def generate_changelog_block(spec: ChangelogSpec, block_id: int) -> pa.Table:
         late = rng.random(n) < spec.ooo_fraction
         ts = ts - late * rng.integers(1, spec.ooo_ms, n)
 
-    conv_id = pd.Series(conv.astype(np.int64)).map("conv_{:08d}".format).to_numpy(dtype=object)
+    conv_id = np.char.add("conv_", np.char.zfill(conv.astype(np.int64).astype("U8"), 8)).astype(object)
     role = _ROLES[turn % len(_ROLES)].astype(object)
     tool = np.where(role == "tool", _TOOLS[conv % len(_TOOLS)], None)
     text = _text_column(rng, n, lsn, wide_every=997).to_numpy(dtype=object)
