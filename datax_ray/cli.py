@@ -1,0 +1,254 @@
+"""Job-spec CLI — the Engine / JobContainer equivalent.
+
+DataX drives everything from a job JSON: ``reader → [transformer] →
+writer`` plus settings (reference: core/.../Engine.java:122-172 arg parse
+and config merge; JobContainer.java:96-182 lifecycle ``preHandle → init →
+prepare → split → schedule → post → postHandle → hooks`` + error-budget
+check :962-966). Here the same job shape builds a lazy Ray Data pipeline;
+split/schedule/channel collapse into the Dataset plan, so the remaining
+explicit lifecycle is: validate (preCheck/dryRun) → prepare (writer mode) →
+run → error-budget check → hooks.
+
+    python -m datax_ray.cli job.json [--dry-run] [--resume]
+
+Job spec:
+
+    {"job": {
+       "content": {
+         "reader":      {"name": "parquet|csv|stream|changelog", "parameter": {...}},
+         "transformer": [{"name": "dx_substr", "parameter": {...}}, ...],
+         "writer":      {"name": "parquet|csv|lake_upsert|stdout", "parameter": {...}}
+       },
+       "setting": {
+         "errorLimit": {"record": 0, "percentage": 0.02},
+         "deadLetterDir": "/tmp/dead",
+         "hooks": ["pkg.module:function"]
+       }}}
+
+The ``changelog`` reader + ``lake_upsert`` writer pair runs the CDC replay
+engine (epochs, manifest, resume) — DataX's otsstreamreader→writer
+incremental path as one job file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import os
+import sys
+import time
+from typing import Any
+
+
+class JobError(RuntimeError):
+    pass
+
+
+# ---------------------------------------------------------------- readers
+def _build_reader(name: str, p: dict[str, Any]):
+    import ray.data as rd
+
+    if name == "parquet":
+        return rd.read_parquet(p["path"], columns=p.get("columns"))
+    if name == "csv":
+        from datax_ray.sources.csvsource import read_csv
+
+        return read_csv(
+            p["path"],
+            columns=p.get("column"),
+            field_delimiter=p.get("fieldDelimiter", ","),
+            null_format=p.get("nullFormat", "\\N"),
+            skip_header=p.get("skipHeader", False),
+            dead_letter_dir=p.get("deadLetterDir"),
+        )
+    if name == "stream":
+        from datax_ray.sources.stream import stream_dataset
+
+        return stream_dataset(
+            p["column"],
+            rows_per_slice=p.get("sliceRecordCount", 1000),
+            n_slices=p.get("slices", 1),
+            seed=p.get("seed", 0),
+        )
+    if name == "changelog":
+        from datax_ray.sources.parquet import read_changelog
+
+        return read_changelog(p["path"], columns=p.get("columns"))
+    raise JobError(f"unknown reader: {name}")
+
+
+def _precheck_reader(name: str, p: dict[str, Any]) -> list[str]:
+    notes = []
+    if name in ("parquet", "csv", "changelog"):
+        path = p["path"]
+        paths = path if isinstance(path, list) else [path]
+        for one in paths:
+            if not (os.path.exists(one) or any(c in one for c in "*?[")):
+                raise JobError(f"reader path does not exist: {one}")
+        notes.append(f"reader {name}: {len(paths)} path(s) ok")
+    elif name == "stream":
+        from datax_ray.sources.stream import StreamColumn
+
+        [StreamColumn(**c) if isinstance(c, dict) else c for c in p["column"]]
+        notes.append("reader stream: column config ok")
+    return notes
+
+
+# ---------------------------------------------------------------- writers
+def _run_writer(name: str, p: dict[str, Any], ds, resume: bool) -> dict[str, Any]:
+    if name == "parquet":
+        path = p["path"]
+        mode = p.get("writeMode", "append")
+        from datax_ray.sinks.csvsink import prepare_dir
+
+        prepare_dir(path, mode, prefix="")
+        ds.write_parquet(path)
+        return {"rows": None, "path": path}
+    if name == "csv":
+        from datax_ray.sinks.csvsink import write_csv
+
+        report = write_csv(
+            ds,
+            p["path"],
+            write_mode=p.get("writeMode", "append"),
+            prefix=p.get("fileName", "part"),
+            field_delimiter=p.get("fieldDelimiter", ","),
+            null_format=p.get("nullFormat", "\\N"),
+            header=p.get("header", False),
+            compress=p.get("compress"),
+        )
+        return {"rows": sum(r["rows"] for r in report), "files": len(report)}
+    if name == "stdout":
+        n = p.get("limit", 20)
+        for row in ds.take(n):
+            print(json.dumps(row, default=str))
+        return {"rows": n}
+    raise JobError(f"unknown writer: {name}")
+
+
+def _run_lake_upsert(reader_p: dict, writer_p: dict, resume: bool,
+                     verbose: bool = True) -> dict[str, Any]:
+    """The CDC job: changelog reader + lake_upsert writer = replay engine."""
+    from datax_ray.cdc.replay import replay_files
+
+    res = replay_files(
+        reader_p["path"],
+        lake_dir=writer_p["path"],
+        max_lsn_exclusive=reader_p["maxLsnExclusive"],
+        num_partitions=writer_p.get("numPartitions", 64),
+        epoch_size=reader_p.get("epochSize"),
+        window=tuple(reader_p["window"]) if reader_p.get("window") else None,
+        compact_every=writer_p.get("compactEvery", 8),
+        run_id=writer_p.get("runId"),
+        verbose=verbose,
+    )
+    return {
+        "epochs_run": res.epochs_run,
+        "epochs_skipped": res.epochs_skipped,
+        "events_applied": res.events_applied,
+        "events_per_sec": round(res.events_per_sec, 1),
+        "partition_metrics": res.manifest.metrics_by_partition(),
+    }
+
+
+def run_job(spec: dict[str, Any], *, dry_run: bool = False,
+            resume: bool = False) -> dict[str, Any]:
+    job = spec["job"]
+    content = job["content"]
+    setting = job.get("setting", {})
+    reader = content["reader"]
+    writer = content["writer"]
+    transformer_specs = content.get("transformer", [])
+
+    # ---- preCheck (always; = dryRun path of JobContainer.java:184-213)
+    notes = _precheck_reader(reader["name"], reader.get("parameter", {}))
+    from datax_ray.transforms import build_transform
+
+    transforms = [build_transform(t) for t in transformer_specs]
+    notes.append(f"{len(transforms)} transform(s) ok")
+    if dry_run:
+        return {"dryRun": True, "ok": True, "notes": notes}
+
+    t0 = time.perf_counter()
+    if reader["name"] == "changelog" and writer["name"] == "lake_upsert":
+        if transforms:
+            raise JobError("lake_upsert jobs run transforms at merge — not supported yet")
+        result = _run_lake_upsert(
+            reader.get("parameter", {}), writer.get("parameter", {}), resume
+        )
+        totals = {}
+    else:
+        ds = _build_reader(reader["name"], reader.get("parameter", {}))
+        counters = None
+        if transforms:
+            from datax_ray.transforms import Counters, TransformChain
+
+            counters = Counters()
+            chain = TransformChain(
+                transforms,
+                dead_letter_dir=setting.get("deadLetterDir"),
+                counters=counters,
+            )
+            ds = ds.map_batches(chain, batch_format="pyarrow")
+        result = _run_writer(writer["name"], writer.get("parameter", {}), ds, resume)
+        totals = counters.totals() if counters else {}
+
+    # ---- error budget (ErrorRecordChecker.java:18-82 precedence)
+    el = setting.get("errorLimit")
+    if el and totals:
+        from datax_ray.transforms import ErrorLimit
+
+        ErrorLimit(record=el.get("record"), percentage=el.get("percentage")).check(
+            totals.get("dirty", 0), totals.get("input", 0)
+        )
+
+    # ---- hooks (Hook.java:10-26 / HookInvoker — plain callables post-run)
+    report = {
+        "ok": True,
+        "secs": round(time.perf_counter() - t0, 3),
+        "result": result,
+        "counters": totals,
+    }
+    for hook in setting.get("hooks", []):
+        mod, _, fn = hook.partition(":")
+        getattr(importlib.import_module(mod), fn)(spec, report)
+    return report
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="datax_ray", description=__doc__)
+    ap.add_argument("job", help="path to job spec JSON")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="validate config/paths/permissions, move no data")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume a lake_upsert job from its manifest")
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args(argv)
+
+    with open(args.job) as f:
+        spec = json.load(f)
+
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(
+            address="local", num_cpus=args.num_cpus,
+            include_dashboard=False, logging_level="ERROR",
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+    try:
+        report = run_job(spec, dry_run=args.dry_run, resume=args.resume)
+        print(json.dumps(report, default=str))
+        return 0
+    finally:
+        if owns_ray:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
