@@ -62,6 +62,7 @@ def _map_split_impl(
     num_partitions: int,
     schema: pa.Schema | None,
     window: tuple | None,
+    transform_specs: list | None = None,
 ):
     tables = []
     for path in paths:
@@ -80,6 +81,13 @@ def _map_split_impl(
             t = align_to_schema(t, schema)
         tables.append(t)
     t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+    if transform_specs:
+        # transformers run reader-side before the exchange, exactly like the
+        # reference chain ahead of the channel (TaskGroupContainer.java:481-485)
+        from datax_ray.transforms import TransformChain, build_transform
+
+        chain = TransformChain([build_transform(s) for s in transform_specs])
+        t = chain(t)
     t = partial_lww_combiner(t, with_weights=True)
     if num_partitions == 1:
         return t  # num_returns=1: a bare table, not a 1-tuple
@@ -183,6 +191,7 @@ def exchange_epoch(
     max_map_tasks: int = 64,
     lsn_ranges: dict | None = None,
     sync: bool = True,
+    transform_specs: list | None = None,
 ):
     """Run one epoch's map→reduce exchange; returns per-partition metrics
     rows (same shape the manifest commit expects).
@@ -200,7 +209,8 @@ def exchange_epoch(
     gsize = max(1, -(-len(use) // max_map_tasks))
     groups = [use[i : i + gsize] for i in range(0, len(use), gsize)]
     maps = [
-        map_split.remote(g, lsn_lo, lsn_hi, num_partitions, schema, window)
+        map_split.remote(g, lsn_lo, lsn_hi, num_partitions, schema, window,
+                         transform_specs)
         for g in groups
     ]
     if num_partitions == 1:

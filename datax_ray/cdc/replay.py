@@ -222,6 +222,7 @@ def replay_files(
     compact_every: int = 8,
     run_id: str | None = None,
     verbose: bool = False,
+    transform_specs: list | None = None,
 ) -> ReplayResult:
     """Fast-path replay of a parquet changelog via the raw-Ray hash
     exchange (cdc/exchange.py) — same manifest/exactly-once/resume
@@ -272,6 +273,7 @@ def replay_files(
                 files, lake_dir=lake_dir, epoch=epoch, lsn_lo=lo, lsn_hi=hi,
                 num_partitions=num_partitions, schema=schema, window=window,
                 lsn_ranges=lsn_ranges, sync=False,
+                transform_specs=transform_specs,
             )
             inflight.append((epoch, lo, hi, reduces))
             i += 1

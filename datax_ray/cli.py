@@ -128,8 +128,11 @@ def _run_writer(name: str, p: dict[str, Any], ds, resume: bool) -> dict[str, Any
 
 
 def _run_lake_upsert(reader_p: dict, writer_p: dict, resume: bool,
+                     transform_specs: list | None = None,
                      verbose: bool = True) -> dict[str, Any]:
-    """The CDC job: changelog reader + lake_upsert writer = replay engine."""
+    """The CDC job: changelog reader + lake_upsert writer = replay engine.
+    Transformers run reader-side ahead of the exchange (the reference's
+    chain-before-channel contract)."""
     from datax_ray.cdc.replay import replay_files
 
     res = replay_files(
@@ -142,6 +145,7 @@ def _run_lake_upsert(reader_p: dict, writer_p: dict, resume: bool,
         compact_every=writer_p.get("compactEvery", 8),
         run_id=writer_p.get("runId"),
         verbose=verbose,
+        transform_specs=transform_specs,
     )
     return {
         "epochs_run": res.epochs_run,
@@ -172,10 +176,9 @@ def run_job(spec: dict[str, Any], *, dry_run: bool = False,
 
     t0 = time.perf_counter()
     if reader["name"] == "changelog" and writer["name"] == "lake_upsert":
-        if transforms:
-            raise JobError("lake_upsert jobs run transforms at merge — not supported yet")
         result = _run_lake_upsert(
-            reader.get("parameter", {}), writer.get("parameter", {}), resume
+            reader.get("parameter", {}), writer.get("parameter", {}), resume,
+            transform_specs=transformer_specs or None,
         )
         totals = {}
     else:

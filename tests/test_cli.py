@@ -136,3 +136,33 @@ class TestCli:
         }}}
         with pytest.raises(KeyError):
             run_job(spec, dry_run=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCdcTransforms:
+    def test_lake_upsert_with_reader_side_transform(self, tmp_path):
+        """dx_filter ahead of the merge: filtered events never reach the
+        lake (the reference's transform-before-channel contract)."""
+        from datax_ray.sinks.lake import read_lake_table
+        from datax_ray.sources.generators import ChangelogSpec, write_changelog_parquet
+
+        cl = write_changelog_parquet(
+            ChangelogSpec(n_events=4000, n_convs=50, max_turns=6, n_blocks=2,
+                          p_delete=0.0, seed=53),
+            str(tmp_path / "cl"),
+        )
+        lake = str(tmp_path / "lake")
+        spec = {"job": {"content": {
+            "reader": {"name": "changelog", "parameter": {
+                "path": cl, "maxLsnExclusive": 4000}},
+            "transformer": [
+                {"name": "dx_filter", "parameter": {
+                    "column": "role", "op": "=", "value": "tool"}}],
+            "writer": {"name": "lake_upsert", "parameter": {
+                "path": lake, "numPartitions": 4}},
+        }}}
+        rep = run_job(spec)
+        assert rep["ok"]
+        t = read_lake_table(lake)
+        assert t.num_rows > 0
+        assert "tool" not in set(t["role"].to_pylist())
