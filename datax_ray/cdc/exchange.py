@@ -55,6 +55,29 @@ def split_by_partition(t: pa.Table, num_partitions: int) -> list[pa.Table]:
     ]
 
 
+def validate_events(t: pa.Table, dead_letter_dir: str | None) -> pa.Table:
+    """Route malformed change events (unknown op, null key/lsn) to the
+    dead-letter side channel — the CDC equivalent of the reference's
+    dirty-record collection (TaskPluginCollector)."""
+    ok = pc.is_in(t["op"], value_set=pa.array(["I", "U", "D"]))
+    for col in ("conv_id", "turn_idx", "lsn", "ts"):
+        ok = pc.and_(ok, pc.is_valid(t[col]))
+    ok_np = np.asarray(pc.fill_null(ok, False))
+    if ok_np.all():
+        return t
+    if dead_letter_dir:
+        import uuid
+
+        os.makedirs(dead_letter_dir, exist_ok=True)
+        bad = t.filter(pa.array(~ok_np)).append_column(
+            "_error", pa.array(["invalid_event"] * int((~ok_np).sum()))
+        )
+        pq.write_table(
+            bad, os.path.join(dead_letter_dir, f"dl-{uuid.uuid4().hex}.parquet")
+        )
+    return t.filter(pa.array(ok_np))
+
+
 def _map_split_impl(
     paths: list[str],
     lsn_lo: int,
@@ -63,6 +86,7 @@ def _map_split_impl(
     schema: pa.Schema | None,
     window: tuple | None,
     transform_specs: list | None = None,
+    dead_letter_dir: str | None = None,
 ):
     tables = []
     for path in paths:
@@ -81,6 +105,7 @@ def _map_split_impl(
             t = align_to_schema(t, schema)
         tables.append(t)
     t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+    t = validate_events(t, dead_letter_dir)
     if transform_specs:
         # transformers run reader-side before the exchange, exactly like the
         # reference chain ahead of the channel (TaskGroupContainer.java:481-485)
@@ -192,6 +217,7 @@ def exchange_epoch(
     lsn_ranges: dict | None = None,
     sync: bool = True,
     transform_specs: list | None = None,
+    dead_letter_dir: str | None = None,
 ):
     """Run one epoch's map→reduce exchange; returns per-partition metrics
     rows (same shape the manifest commit expects).
@@ -210,7 +236,7 @@ def exchange_epoch(
     groups = [use[i : i + gsize] for i in range(0, len(use), gsize)]
     maps = [
         map_split.remote(g, lsn_lo, lsn_hi, num_partitions, schema, window,
-                         transform_specs)
+                         transform_specs, dead_letter_dir)
         for g in groups
     ]
     if num_partitions == 1:

@@ -223,6 +223,7 @@ def replay_files(
     run_id: str | None = None,
     verbose: bool = False,
     transform_specs: list | None = None,
+    dead_letter_dir: str | None = None,
 ) -> ReplayResult:
     """Fast-path replay of a parquet changelog via the raw-Ray hash
     exchange (cdc/exchange.py) — same manifest/exactly-once/resume
@@ -274,6 +275,7 @@ def replay_files(
                 num_partitions=num_partitions, schema=schema, window=window,
                 lsn_ranges=lsn_ranges, sync=False,
                 transform_specs=transform_specs,
+                dead_letter_dir=dead_letter_dir,
             )
             inflight.append((epoch, lo, hi, reduces))
             i += 1

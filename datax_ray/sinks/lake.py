@@ -111,3 +111,22 @@ def read_lake_table(lake_dir: str) -> pa.Table:
     return out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
 
 
+
+
+def vacuum(lake_dir: str, *, dry_run: bool = False) -> list[str]:
+    """Delete data files not referenced by the committed manifest — garbage
+    from crashed runs (written-but-never-committed deltas), replaced
+    compaction bases, and orphaned .tmp files. Safe because visibility is
+    manifest-gated: anything unreferenced is invisible by definition."""
+    import glob as _glob
+
+    manifest = Manifest.load(lake_dir)
+    referenced: set[str] = set()
+    for p in range(manifest.num_partitions):
+        referenced.update(manifest.partition_files(p))
+    on_disk = _glob.glob(os.path.join(lake_dir, "data", "part=*", "*"))
+    victims = sorted(set(on_disk) - referenced)
+    if not dry_run:
+        for v in victims:
+            os.unlink(v)
+    return victims

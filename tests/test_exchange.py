@@ -89,3 +89,60 @@ class TestExchangeReplay:
         replay_files(changelog_dir, lake_dir=lake,
                      max_lsn_exclusive=SPEC.n_events, num_partitions=1)
         check(lake, oracle_fold(all_events(SPEC)))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDirtyEventsAndVacuum:
+    def test_malformed_events_routed_to_dead_letter(self, tmp_path):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from datax_ray.sources.generators import generate_changelog_block
+        from datax_ray.transforms.chain import read_dead_letters
+
+        spec = ChangelogSpec(n_events=2000, n_convs=50, max_turns=6,
+                             n_blocks=1, seed=61)
+        t = generate_changelog_block(spec, 0)
+        # corrupt 10 rows: invalid op; 5 rows: null conv_id
+        op = t["op"].to_pylist()
+        conv = t["conv_id"].to_pylist()
+        for i in range(10):
+            op[i * 3] = "X"
+        for i in range(5):
+            conv[i * 7 + 1] = None
+        t = t.set_column(t.schema.get_field_index("op"), "op",
+                         pa.array(op, pa.string()))
+        t = t.set_column(t.schema.get_field_index("conv_id"), "conv_id",
+                         pa.array(conv, pa.string()))
+        d = tmp_path / "cl"
+        d.mkdir()
+        pq.write_table(t, str(d / "block-00000.parquet"))
+        lake = str(tmp_path / "lake")
+        dl = str(tmp_path / "dl")
+        res = replay_files(str(d), lake_dir=lake, max_lsn_exclusive=2000,
+                           num_partitions=4, dead_letter_dir=dl)
+        dead = read_dead_letters(dl)
+        # overlap between the two corruptions is possible; at least each set
+        assert dead.num_rows >= 13
+        assert set(dead["_error"].to_pylist()) == {"invalid_event"}
+        assert res.events_applied == 2000 - dead.num_rows
+
+    def test_vacuum_removes_unreferenced_files(self, changelog_dir, tmp_path):
+        import os
+
+        from datax_ray.sinks.lake import delta_path, vacuum
+
+        lake = str(tmp_path / "lake")
+        replay_files(changelog_dir, lake_dir=lake,
+                     max_lsn_exclusive=SPEC.n_events, num_partitions=4,
+                     epoch_size=12_000, compact_every=0)
+        before = read_lake_table(lake)
+        # orphan: a delta written by a "crashed" epoch that never committed
+        orphan = delta_path(lake, 0, 99)
+        os.makedirs(os.path.dirname(orphan), exist_ok=True)
+        open(orphan, "wb").write(b"junk")
+        victims = vacuum(lake, dry_run=True)
+        assert orphan in victims
+        vacuum(lake)
+        assert not os.path.exists(orphan)
+        assert read_lake_table(lake).equals(before)
