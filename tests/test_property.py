@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis): the vectorized LWW fold must agree
+with a brute-force per-key dict fold on arbitrary event sequences, and
+must stay associative under arbitrary partitions of the input."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datax_ray.cdc.merge import lww_fold_table, partial_lww_combiner
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),          # conv
+        st.integers(0, 3),          # turn
+        st.sampled_from("IUD"),     # op
+        st.integers(0, 50),         # ts (many collisions on purpose)
+        st.text(max_size=8),        # text payload
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def to_table(rows):
+    # lsn = position in the log (strictly increasing)
+    return pa.table(
+        {
+            "lsn": pa.array(np.arange(len(rows), dtype=np.int64)),
+            "op": pa.array([r[2] for r in rows], pa.string()),
+            "conv_id": pa.array([f"c{r[0]}" for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array([r[4] for r in rows], pa.string()),
+            "tool": pa.array([None] * len(rows), pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.int64()).cast(pa.timestamp("ms")),
+        }
+    )
+
+
+def brute_force(rows):
+    """Reference fold: max over (ts, lsn) per key; D ⇒ absent."""
+    state = {}
+    for lsn, r in enumerate(rows):
+        key = (f"c{r[0]}", r[1])
+        version = (r[3], lsn)
+        if key not in state or version > state[key][0]:
+            state[key] = (version, r[2], r[4])
+    return {
+        k: (v[1], v[2]) for k, v in state.items() if v[1] != "D"
+    }
+
+
+def folded_to_dict(t: pa.Table):
+    return {
+        (c, ti): (op, tx)
+        for c, ti, op, tx in zip(
+            t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(),
+            t["op"].to_pylist(), t["text"].to_pylist(),
+        )
+    }
+
+
+@settings(max_examples=100, deadline=None)
+@given(events_strategy)
+def test_fold_matches_bruteforce(rows):
+    t = to_table(rows)
+    out = lww_fold_table(t, drop_deletes=True)
+    assert folded_to_dict(out) == brute_force(rows)
+
+
+@settings(max_examples=50, deadline=None)
+@given(events_strategy, st.integers(1, 5))
+def test_fold_associative_under_any_partition(rows, n_chunks):
+    t = to_table(rows)
+    direct = lww_fold_table(t, drop_deletes=True)
+    # fold arbitrary contiguous chunks first, then fold the partials
+    size = max(1, -(-max(1, t.num_rows) // n_chunks))
+    partials = [
+        partial_lww_combiner(t.slice(i, size))
+        for i in range(0, max(1, t.num_rows), size)
+    ]
+    refolded = lww_fold_table(pa.concat_tables(partials), drop_deletes=True)
+    assert folded_to_dict(refolded) == folded_to_dict(direct)
+
+
+@settings(max_examples=50, deadline=None)
+@given(events_strategy)
+def test_duplicate_redelivery_idempotent(rows):
+    t = to_table(rows)
+    clean = lww_fold_table(t, drop_deletes=True)
+    duped = lww_fold_table(pa.concat_tables([t, t]), drop_deletes=True)
+    assert folded_to_dict(duped) == folded_to_dict(clean)
