@@ -140,34 +140,14 @@ def simhash_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 
 # --------------------------------------------------------------- minhash
-def _minhash_params(num_perm: int, seed: int = 7):
-    rng = np.random.default_rng(seed)
-    MERSENNE = np.uint64((1 << 61) - 1)
-    a = rng.integers(1, MERSENNE, num_perm, dtype=np.uint64)
-    b = rng.integers(0, MERSENNE, num_perm, dtype=np.uint64)
-    return a, b, MERSENNE
-
-
 def minhash_signature_batch(texts: list[str | None], num_perm: int, shingle_k: int,
                             seed: int = 7) -> np.ndarray:
-    """(n, num_perm) uint64 signatures over word k-shingles."""
-    a, b, M = _minhash_params(num_perm, seed)
-    out = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    for i, txt in enumerate(texts):
-        if not txt:
-            continue
-        toks = txt.split()
-        if len(toks) < shingle_k:
-            shingles = [" ".join(toks)] if toks else []
-        else:
-            shingles = [" ".join(toks[j : j + shingle_k]) for j in range(len(toks) - shingle_k + 1)]
-        if not shingles:
-            continue
-        h = pd.util.hash_array(np.array(shingles, dtype=object), categorize=False)
-        # universal hashing: (a*h + b) mod mersenne, min over shingles
-        vals = (a[None, :] * h[:, None] + b[None, :]) % M
-        out[i] = vals.min(axis=0)
-    return out
+    """(n, num_perm) uint64 signatures over word k-shingles — fully
+    vectorized (flat rolling shingle hashes + per-permutation segment-min
+    reductions, ops/hashing.py); no per-document Python loop."""
+    from datax_ray.ops.hashing import minhash_batch
+
+    return minhash_batch(texts, num_perm, shingle_k, seed)
 
 
 def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",

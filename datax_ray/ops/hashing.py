@@ -1,0 +1,128 @@
+"""Vectorized batch hashing kernels for dedup: flat-token arrays +
+``np.ufunc.reduceat`` segment reductions — no per-document Python loops.
+
+Tokenization itself (``str.split`` over object strings) is C-level pandas;
+everything after — token hashing, rolling k-shingle hashes, per-permutation
+MinHash minima, SimHash bit votes — is pure numpy over ONE flat array per
+batch with document boundaries expressed as offsets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_FNV = np.uint64(1099511628211)
+
+
+def flat_token_hashes(texts: list[str | None]) -> tuple[np.ndarray, np.ndarray]:
+    """→ (flat uint64 token hashes, doc offsets of length n+1)."""
+    s = pd.Series(texts, dtype=object).fillna("")
+    token_lists = s.str.split()
+    lengths = token_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    if offsets[-1] == 0:
+        return np.zeros(0, dtype=np.uint64), offsets
+    flat = np.concatenate([t if t else [] for t in token_lists]).astype(object)
+    return pd.util.hash_array(flat, categorize=False), offsets
+
+
+def shingle_hashes(th: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling k-token shingle hashes per document (polynomial fold with
+    uint64 wraparound), restricted to windows fully inside one doc.
+    Documents shorter than k contribute ONE whole-doc shingle (matching the
+    scalar implementation's semantics). Returns (flat shingle hashes,
+    shingle offsets per doc)."""
+    n_docs = len(offsets) - 1
+    lengths = np.diff(offsets)
+    n_tok = int(offsets[-1])
+    with np.errstate(over="ignore"):
+        if n_tok >= k:
+            roll = th[: n_tok - k + 1].copy()
+            for j in range(1, k):
+                roll = roll * _FNV + th[j : n_tok - k + 1 + j]
+        else:
+            roll = np.zeros(0, dtype=np.uint64)
+        # whole-doc fold for short docs
+        short = lengths < k
+    # per-doc output window counts: k-windows fully inside the doc, or one
+    # whole-doc shingle for docs shorter than k
+    out_counts = np.where(short, np.minimum(lengths, 1), lengths - k + 1)
+    sh_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(out_counts, out=sh_offsets[1:])
+    out = np.empty(int(sh_offsets[-1]), dtype=np.uint64)
+    if len(roll):
+        # windows starting at flat token i live in roll[i]; a doc's valid
+        # windows are the first (len-k+1) starting at its token offset
+        long_docs = np.flatnonzero(~short & (lengths > 0))
+        counts = np.maximum(lengths - k + 1, 0)
+        r = _ranges(counts[long_docs])
+        src_idx = np.repeat(offsets[:-1][long_docs], counts[long_docs]) + r
+        dst_idx = np.repeat(sh_offsets[:-1][long_docs], counts[long_docs]) + r
+        out[dst_idx] = roll[src_idx]
+    # short docs: whole-doc polynomial fold via segment reduction
+    short_docs = np.flatnonzero(short & (lengths > 0))
+    if len(short_docs):
+        with np.errstate(over="ignore"):
+            for d in short_docs:  # rare path (len<k); tiny loop
+                seg = th[offsets[d] : offsets[d + 1]]
+                h = seg[0]
+                for v in seg[1:]:
+                    h = h * _FNV + v
+                out[sh_offsets[d]] = h
+    return out, sh_offsets
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized arange-per-segment)."""
+    if len(counts) == 0 or counts.sum() == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    idx = np.arange(int(ends[-1]), dtype=np.int64)
+    return idx - np.repeat(ends - counts, counts)
+
+
+def minhash_batch(texts: list[str | None], num_perm: int, shingle_k: int,
+                  seed: int = 7) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signatures, fully vectorized:
+    one rolling-shingle pass + num_perm segment-min reductions."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+    th, offsets = flat_token_hashes(texts)
+    sh, sh_off = shingle_hashes(th, offsets, shingle_k)
+    n_docs = len(texts)
+    out = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(sh) == 0:
+        return out
+    seg_counts = np.diff(sh_off)
+    nonempty = seg_counts > 0
+    starts = sh_off[:-1][nonempty]
+    with np.errstate(over="ignore"):
+        for j in range(num_perm):
+            vals = (a[j] * sh + b[j]) % _MERSENNE
+            mins = np.minimum.reduceat(vals, starts)
+            out[nonempty, j] = mins
+    return out
+
+
+def simhash_batch(texts: list[str | None]) -> np.ndarray:
+    """(n_docs,) uint64 SimHash over whitespace tokens — 64 segment-sum
+    reductions over the flat token-hash array."""
+    th, offsets = flat_token_hashes(texts)
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(th) == 0:
+        return out
+    seg_counts = np.diff(offsets)
+    nonempty = seg_counts > 0
+    starts = offsets[:-1][nonempty]
+    lengths = seg_counts[nonempty].astype(np.int64)
+    for bit in range(64):
+        bits = ((th >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+        ones = np.add.reduceat(bits, starts)
+        votes = 2 * ones - lengths  # (+1 per one, -1 per zero)
+        out[nonempty] |= (votes > 0).astype(np.uint64) << np.uint64(bit)
+    return out
