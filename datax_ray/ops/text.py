@@ -97,7 +97,8 @@ def add_lang_id(batch: pa.Table, col: str = "text", out: str = "lang_pred") -> p
     return batch.append_column(out, best_lang.cast(pa.string()))
 
 
-def add_fingerprint(batch: pa.Table, col: str = "text", out: str = "fingerprint") -> pa.Table:
+def add_fingerprint(batch: pa.Table, col: str = "text", out: str = "fingerprint",
+                    mode: str = "md5") -> pa.Table:
     """md5 of lowercase whitespace-collapsed, edge-stripped text — the
     canonical-form document fingerprint. Pure-regex normalization so the
     SQL oracle (DuckDB, same RE2) is bit-identical:
@@ -108,6 +109,18 @@ def add_fingerprint(batch: pa.Table, col: str = "text", out: str = "fingerprint"
         "",
     )
     arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
+    if mode == "fast":
+        # scale path: 128-bit from two independent vectorized siphashes —
+        # same grouping semantics as md5, no Python-per-row hashing
+        vals = np.asarray(arr, dtype=object)
+        h1 = pd.util.hash_array(vals, categorize=False)
+        h2 = pd.util.hash_array(vals, hash_key="datax_ray_fp2_16", categorize=False)
+        hexes = [f"{a:016x}{b:016x}" for a, b in zip(h1, h2)]
+        col_arr = pc.if_else(
+            pc.is_null(arr), pa.scalar(None, pa.string()),
+            pa.array(hexes, pa.string()),
+        )
+        return batch.append_column(out, col_arr)
     digests = [
         hashlib.md5(v.encode()).hexdigest() if v is not None else None
         for v in arr.to_pylist()

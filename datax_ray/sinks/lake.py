@@ -130,3 +130,23 @@ def vacuum(lake_dir: str, *, dry_run: bool = False) -> list[str]:
         for v in victims:
             os.unlink(v)
     return victims
+
+
+def lookup_conversation(lake_dir: str, conv_id: str) -> pa.Table:
+    """Point lookup: read + fold only the ONE hash partition that can hold
+    ``conv_id`` (manifest-pruned — no scan of the other P-1 partitions),
+    then filter to the conversation, sorted by turn_idx. The lake's
+    partitioning key doubles as its primary index."""
+    import pyarrow.compute as pc
+
+    from datax_ray.cdc.merge import stable_hash_partition
+
+    manifest = Manifest.load(lake_dir)
+    part = int(stable_hash_partition(pa.array([conv_id]), manifest.num_partitions)[0])
+    t = fold_partition_files(manifest.partition_files(part), drop_deletes=True)
+    if t is None:
+        from datax_ray.schema import TRANSCRIPT_SCHEMA
+
+        return TRANSCRIPT_SCHEMA.empty_table()
+    t = t.filter(pc.equal(t["conv_id"], pa.scalar(conv_id)))
+    return t.sort_by([("turn_idx", "ascending")])

@@ -89,3 +89,26 @@ class TestEdgesRay:
         keys = list(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()))
         assert keys == sorted(keys)
         assert len(set(keys)) == len(keys)  # key uniqueness after fold
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPointLookup:
+    def test_lookup_conversation_reads_one_partition(self, tmp_path):
+        from datax_ray.cdc.replay import replay_files
+        from datax_ray.sinks.lake import lookup_conversation, read_lake_table
+        from datax_ray.sources.generators import ChangelogSpec, write_changelog_parquet
+
+        spec = ChangelogSpec(n_events=4000, n_convs=60, max_turns=6,
+                             n_blocks=2, seed=79)
+        cl = write_changelog_parquet(spec, str(tmp_path / "cl"))
+        lake = str(tmp_path / "lake")
+        replay_files(cl, lake_dir=lake, max_lsn_exclusive=4000, num_partitions=8)
+        full = read_lake_table(lake)
+        conv = full["conv_id"][0].as_py()
+        got = lookup_conversation(lake, conv)
+        want = full.filter(
+            pa.compute.equal(full["conv_id"], pa.scalar(conv))
+        ).sort_by([("turn_idx", "ascending")])
+        assert got.select(want.column_names).equals(want)
+        assert got.num_rows > 0
+        assert lookup_conversation(lake, "conv_does_not_exist").num_rows == 0
