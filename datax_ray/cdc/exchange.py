@@ -78,6 +78,21 @@ def validate_events(t: pa.Table, dead_letter_dir: str | None) -> pa.Table:
     return t.filter(pa.array(ok_np))
 
 
+def _pin_worker_threads():
+    """Cap per-task Arrow thread pools so parallelism is governed by Ray's
+    CPU accounting, not hidden intra-task threads — otherwise a
+    'num_cpus=8' session quietly uses idle cores through pyarrow's IO/
+    compute pools and scaling comparisons lie. Set once per worker."""
+    global _PINNED
+    if not _PINNED:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        _PINNED = True
+
+
+_PINNED = False
+
+
 def _map_split_impl(
     paths: list[str],
     lsn_lo: int,
@@ -88,6 +103,7 @@ def _map_split_impl(
     transform_specs: list | None = None,
     dead_letter_dir: str | None = None,
 ):
+    _pin_worker_threads()
     tables = []
     for path in paths:
         t = pq.read_table(
@@ -120,6 +136,7 @@ def _map_split_impl(
 
 
 def _reduce_apply_impl(lake_dir: str, epoch: int, part: int, *tables: pa.Table):
+    _pin_worker_threads()
     t0 = time.perf_counter()
     tables = [t for t in tables if t is not None and t.num_rows > 0]
     if not tables:

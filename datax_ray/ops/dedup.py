@@ -306,3 +306,90 @@ def embedding_neardup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "ve
         .groupby("bucket")
         .map_groups(pairs, batch_format="pyarrow")
     )
+
+
+def connected_components_distributed(pairs_ds, *, max_rounds: int = 20,
+                                     id_a: str = "id_a", id_b: str = "id_b"):
+    """Distributed connected components over candidate pairs by min-label
+    propagation — the at-scale alternative to the driver-side union-find.
+
+    Each round is two groupbys (no joins): nodes broadcast their current
+    label along edges, every node takes the min of what it hears plus its
+    own label. Converges in O(diameter) rounds; near-dup clusters are tiny
+    (diameter ≤ a few), so 3–5 rounds typically suffice. Returns a Dataset
+    of (id, component) with component = min id of the cluster.
+
+    Rounds materialize the (small) label set — pairs/labels are candidate-
+    sized, orders of magnitude below the corpus, so this is cheap relative
+    to the candidate generation that produced them.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    edges = pairs_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [t[id_a].combine_chunks(), t[id_b].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [t[id_b].combine_chunks(), t[id_a].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # small: 2 × candidate pairs
+
+    # labels start as self
+    labels = edges.map_batches(
+        lambda t: pa.table({"id": t["src"], "label": t["src"]}),
+        batch_format="pyarrow",
+    ).groupby("id").aggregate(Min("label", alias_name="label")).materialize()
+
+    for _ in range(max_rounds):
+        # message pass: tag labels and edges, group by node id, emit
+        # (neighbor, my_label) for each edge + (me, my_label)
+        lab = labels.map_batches(
+            lambda t: pa.table(
+                {"node": t["id"], "other": pa.nulls(t.num_rows, pa.int64()),
+                 "label": t["label"]}
+            ),
+            batch_format="pyarrow",
+        )
+        edg = edges.map_batches(
+            lambda t: pa.table(
+                {"node": t["src"], "other": t["dst"],
+                 "label": pa.nulls(t.num_rows, pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+
+        def emit(g: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            my = _pc.min(g["label"]).as_py()
+            neigh = g["other"].drop_null()
+            ids = pa.concat_arrays([neigh.combine_chunks(),
+                                    pa.array([g["node"][0].as_py()], pa.int64())])
+            return pa.table(
+                {"id": ids,
+                 "label": pa.array([my] * len(ids), pa.int64())}
+            )
+
+        new_labels = (
+            lab.union(edg)
+            .groupby("node")
+            .map_groups(emit, batch_format="pyarrow")
+            .groupby("id")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        # converged when total label sum stops decreasing
+        old_sum = labels.sum("label")
+        new_sum = new_labels.sum("label")
+        labels = new_labels
+        if new_sum == old_sum:
+            break
+    return labels.map_batches(
+        lambda t: t.rename_columns(["id", "component"]), batch_format="pyarrow"
+    )

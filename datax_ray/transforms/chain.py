@@ -107,7 +107,14 @@ class TransformChain:
             path = os.path.join(self.dead_letter_dir, f"dl-{uuid.uuid4().hex}.parquet")
             pq.write_table(dead, path)
         if self.counter_actor is not None:
-            self.counter_actor.add.remote(n_in, batch.num_rows, n_filtered, n_dirty)
+            import ray
+
+            # synchronous ack: pipeline completion must imply counter
+            # visibility (a fire-and-forget .remote() can still be in the
+            # actor's mailbox when the driver reads totals)
+            ray.get(self.counter_actor.add.remote(
+                n_in, batch.num_rows, n_filtered, n_dirty
+            ))
         return batch
 
 

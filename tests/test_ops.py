@@ -150,3 +150,26 @@ class TestDistributedOps:
 
         with pytest.raises(NotImplementedError):
             ImageFeatureExtractor(strict=True)(synthetic_media_table(2))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedCC:
+    def test_min_label_propagation_matches_union_find(self):
+        import pyarrow as pa
+
+        from datax_ray.ops.dedup import (
+            connected_components,
+            connected_components_distributed,
+        )
+
+        # chain 1-2-3-4, pair 7-8, triangle 10-11-12, singleton edge 20-21
+        pairs = [(1, 2), (2, 3), (3, 4), (7, 8), (10, 11), (11, 12),
+                 (10, 12), (20, 21)]
+        t = pa.table({
+            "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+            "id_b": pa.array([b for _, b in pairs], pa.int64()),
+        })
+        got = connected_components_distributed(rd.from_arrow(t)).to_pandas()
+        got = dict(zip(got["id"], got["component"]))
+        want = connected_components(pairs)
+        assert got == want
