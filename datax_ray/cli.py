@@ -75,6 +75,15 @@ def _build_reader(name: str, p: dict[str, Any]):
         from datax_ray.sources.parquet import read_changelog
 
         return read_changelog(p["path"], columns=p.get("columns"))
+    if name == "jsonl":
+        from datax_ray.sources.files import read_jsonl
+
+        return read_jsonl(p["path"], path_regex=p.get("pathRegex"))
+    if name == "orc":
+        from datax_ray.sources.files import read_orc
+
+        return read_orc(p["path"], columns=p.get("columns"),
+                        path_regex=p.get("pathRegex"))
     raise JobError(f"unknown reader: {name}")
 
 
@@ -119,6 +128,12 @@ def _run_writer(name: str, p: dict[str, Any], ds, resume: bool) -> dict[str, Any
             compress=p.get("compress"),
         )
         return {"rows": sum(r["rows"] for r in report), "files": len(report)}
+    if name == "json":
+        from datax_ray.sinks.csvsink import prepare_dir
+
+        prepare_dir(p["path"], p.get("writeMode", "append"), prefix="")
+        ds.write_json(p["path"])
+        return {"rows": None, "path": p["path"]}
     if name == "stdout":
         n = p.get("limit", 20)
         for row in ds.take(n):
@@ -221,7 +236,10 @@ def run_job(spec: dict[str, Any], *, dry_run: bool = False,
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="datax_ray", description=__doc__)
-    ap.add_argument("job", help="path to job spec JSON")
+    ap.add_argument("job", help="path to job spec JSON, or a lake dir with --status")
+    ap.add_argument("--status", action="store_true",
+                    help="print a lake's manifest status (epochs, offsets, "
+                         "per-partition metrics) instead of running a job")
     ap.add_argument("--dry-run", action="store_true",
                     help="validate config/paths/permissions, move no data")
     ap.add_argument("--resume", action="store_true",
@@ -229,6 +247,22 @@ def main(argv=None) -> int:
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args(argv)
+
+    if args.status:
+        from datax_ray.state.manifest import Manifest
+
+        m = Manifest.load(args.job)
+        print(json.dumps({
+            "run_id": m.run_id,
+            "num_partitions": m.num_partitions,
+            "last_lsn": m.last_lsn,
+            "epochs": m.state["epochs"][-5:],
+            "partitions_with_data": sum(
+                1 for p in range(m.num_partitions) if m.partition_files(p)
+            ),
+            "metrics_sample": dict(list(m.metrics_by_partition().items())[:3]),
+        }, default=str, indent=1))
+        return 0
 
     with open(args.job) as f:
         spec = json.load(f)

@@ -88,17 +88,18 @@ def test_query_matches_oracle(name):
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     for c in got.columns:
+        # EXACT equality, floats included — the driver hashes values, so
+        # tolerance would hide real mismatches (all pipelines are designed
+        # to be bit-identical to their SQL: integer cents, fixed rounding)
+        g, w = got[c].to_numpy(), want[c].to_numpy()
         if pd.api.types.is_float_dtype(want[c]):
-            assert np.allclose(got[c].to_numpy(), want[c].to_numpy(),
-                               rtol=0, atol=1e-9, equal_nan=True), f"{name}.{c}"
+            ok = (g == w) | (np.isnan(g.astype(float)) & np.isnan(w.astype(float)))
         else:
-            ok = (got[c].to_numpy() == want[c].to_numpy()) | (
-                got[c].isna().to_numpy() & want[c].isna().to_numpy()
-            )
-            assert ok.all(), (
-                f"{name}.{c}: first mismatch at row {int(np.argmin(ok))}: "
-                f"{got[c][~ok].head(3).tolist()} != {want[c][~ok].head(3).tolist()}"
-            )
+            ok = (g == w) | (got[c].isna().to_numpy() & want[c].isna().to_numpy())
+        assert ok.all(), (
+            f"{name}.{c}: first mismatch at row {int(np.argmin(ok))}: "
+            f"{got[c][~ok].head(3).tolist()} != {want[c][~ok].head(3).tolist()}"
+        )
 
 
 @pytest.mark.usefixtures("ray_session")
