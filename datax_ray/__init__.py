@@ -22,3 +22,28 @@ Alibaba DataX 3.0 fork) as an idiomatic Ray Data engine:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public API (keeps `import datax_ray` light — no Ray import
+    until a pipeline is actually built)."""
+    api = {
+        "replay_files": ("datax_ray.cdc.replay", "replay_files"),
+        "replay": ("datax_ray.cdc.replay", "replay"),
+        "replay_files_stateful": ("datax_ray.cdc.actor_merge", "replay_files_stateful"),
+        "bootstrap_lake": ("datax_ray.cdc.bootstrap", "bootstrap_lake"),
+        "lww_merge": ("datax_ray.cdc.merge", "lww_merge"),
+        "read_changelog": ("datax_ray.sources.parquet", "read_changelog"),
+        "read_lake": ("datax_ray.sinks.lake", "read_lake"),
+        "read_lake_table": ("datax_ray.sinks.lake", "read_lake_table"),
+        "lookup_conversation": ("datax_ray.sinks.lake", "lookup_conversation"),
+        "vacuum": ("datax_ray.sinks.lake", "vacuum"),
+        "Manifest": ("datax_ray.state.manifest", "Manifest"),
+        "run_job": ("datax_ray.cli", "run_job"),
+    }
+    if name in api:
+        import importlib
+
+        mod, attr = api[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'datax_ray' has no attribute {name!r}")

@@ -18,7 +18,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
+
 
 from datax_ray.cdc.exchange import split_by_partition
 from datax_ray.sinks.lake import atomic_write_parquet, base_path

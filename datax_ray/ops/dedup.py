@@ -27,7 +27,6 @@ Scale notes (the partitioning assumptions each op relies on):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -18,7 +18,7 @@ column + ``turn_idx`` int32→int64 widen from a marked lsn onward).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd

@@ -14,7 +14,7 @@ column types, StreamReader.java:96-168)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import numpy as np
