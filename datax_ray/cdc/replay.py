@@ -25,6 +25,18 @@ stream, matching the reference's bounded-window design.
 Skew: the combiner collapses per-key event storms before the shuffle; for
 Zipf-hot conversations pass ``salt=S`` to spread one conversation's keys
 over S phase-1 groups and re-merge partials by partition in phase 2.
+
+Three interchangeable execution paths share these semantics (same
+manifest, same commits, byte-identical lakes — tested against each other):
+
+- ``replay``                — idiomatic Ray Data (map_batches + groupby);
+                              clearest expression, used by the query surface.
+- ``replay_files``          — raw-Ray hash exchange (cdc/exchange.py);
+                              the hot path (~8× faster per epoch), with
+                              pipelined epochs and strictly-ordered commits.
+- ``replay_files_stateful`` — actor pool with resident per-partition state
+                              (cdc/actor_merge.py); trades throughput for
+                              O(state) snapshots and point-in-time reads.
 """
 
 from __future__ import annotations
