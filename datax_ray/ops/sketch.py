@@ -1,0 +1,155 @@
+"""Mergeable sketches for distributed approximate statistics.
+
+The reference has no sketch operators (SURVEY.md §2.5 — only counter
+roll-ups), but a 100 TB pipeline needs approximate distributions without a
+global sort. Pattern (per the Ray guide): emit ONE serialized sketch per
+batch from ``map_batches``, merge them in a tiny second stage — sketches
+are designed to be mergeable, so the reduction is associative like the LWW
+fold.
+
+- ``QuantileSketch`` — a KLL-style compactor ladder over float64 values:
+  bounded memory (k per level), merge = concat levels + compact. Rank
+  error ~O(1/k) with the standard randomized-compaction guarantee; the
+  compactor chooses offsets from a seeded RNG keyed by (seed, level,
+  n_compactions) so a given pipeline is deterministic.
+- ``distributed_quantiles`` — Dataset → per-batch sketches → driver merge
+  → quantile estimates. One pass, no shuffle at all (the merge stage is
+  O(batches × k) scalars on the driver or a reduce task).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class QuantileSketch:
+    """KLL-style quantile sketch: level ``h`` holds ≤ k items each with
+    weight 2^h; a full level is sorted and every other item (random even/
+    odd offset) promotes to level h+1."""
+
+    def __init__(self, k: int = 256, seed: int = 17):
+        self.k = int(k)
+        self.seed = int(seed)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.n = 0
+        self._compactions = 0
+
+    # ------------------------------------------------------------- build
+    def update_many(self, values: np.ndarray) -> "QuantileSketch":
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if len(values) == 0:
+            return self
+        self.n += len(values)
+        self.levels[0] = np.concatenate([self.levels[0], values])
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            if len(self.levels[h]) > self.k:
+                lvl = np.sort(self.levels[h])
+                rng = np.random.default_rng(
+                    (self.seed, h, self._compactions)
+                )
+                off = int(rng.integers(0, 2))
+                self._compactions += 1
+                promoted = lvl[off::2]
+                self.levels[h] = np.empty(0, dtype=np.float64)
+                if h + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                self.levels[h + 1] = np.concatenate(
+                    [self.levels[h + 1], promoted]
+                )
+            h += 1
+
+    # ------------------------------------------------------------- merge
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for h, lvl in enumerate(other.levels):
+            self.levels[h] = np.concatenate([self.levels[h], lvl])
+        self.n += other.n
+        self._compress()
+        return self
+
+    # ------------------------------------------------------------ query
+    def quantiles(self, qs) -> np.ndarray:
+        items = []
+        weights = []
+        for h, lvl in enumerate(self.levels):
+            if len(lvl):
+                items.append(lvl)
+                weights.append(np.full(len(lvl), 1 << h, dtype=np.int64))
+        if not items:
+            return np.full(len(list(qs)), np.nan)
+        items = np.concatenate(items)
+        weights = np.concatenate(weights)
+        order = np.argsort(items, kind="stable")
+        items, weights = items[order], weights[order]
+        cum = np.cumsum(weights)
+        total = cum[-1]
+        out = []
+        for q in qs:
+            target = q * total
+            idx = int(np.searchsorted(cum, target, side="left"))
+            out.append(items[min(idx, len(items) - 1)])
+        return np.asarray(out)
+
+    # -------------------------------------------------------- serialize
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps(
+            {"k": self.k, "seed": self.seed, "n": self.n,
+             "compactions": self._compactions,
+             "levels": [lvl.tolist() for lvl in self.levels]}
+        )
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "QuantileSketch":
+        import pickle
+
+        d = pickle.loads(raw)
+        sk = cls(d["k"], d["seed"])
+        sk.n = d["n"]
+        sk._compactions = d["compactions"]
+        sk.levels = [np.asarray(lvl, dtype=np.float64) for lvl in d["levels"]]
+        return sk
+
+
+def distributed_quantiles(ds, column: str, qs, *, k: int = 256, seed: int = 17,
+                          group_col: str | None = None):
+    """One-pass approximate quantiles of ``column`` — per-batch sketches,
+    merged without any shuffle. With ``group_col``, returns per-group
+    quantiles (sketch per (batch, group), grouped merge)."""
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        vals = np.asarray(t[column].cast(pa.float64()))
+        if group_col is None:
+            sk = QuantileSketch(k, seed).update_many(vals)
+            return pa.table({"group": pa.array([""], pa.string()),
+                             "sketch": pa.array([sk.to_bytes()], pa.binary())})
+        groups = np.asarray(t[group_col]).astype(object)
+        out_g, out_s = [], []
+        for g in np.unique(groups):
+            sk = QuantileSketch(k, seed).update_many(vals[groups == g])
+            out_g.append(str(g))
+            out_s.append(sk.to_bytes())
+        return pa.table({"group": pa.array(out_g, pa.string()),
+                         "sketch": pa.array(out_s, pa.binary())})
+
+    rows = ds.map_batches(sketch_batch, batch_format="pyarrow").take_all()
+    merged: dict[str, QuantileSketch] = {}
+    for r in rows:
+        sk = QuantileSketch.from_bytes(r["sketch"])
+        g = r["group"]
+        merged[g] = merged[g].merge(sk) if g in merged else sk
+    result = {
+        g: sk.quantiles(qs) for g, sk in sorted(merged.items())
+    }
+    if group_col is None:
+        return result.get("", np.full(len(list(qs)), np.nan))
+    return result

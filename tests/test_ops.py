@@ -173,3 +173,56 @@ class TestDistributedCC:
         got = dict(zip(got["id"], got["component"]))
         want = connected_components(pairs)
         assert got == want
+
+
+class TestQuantileSketch:
+    def test_accuracy_and_merge(self):
+        from datax_ray.ops.sketch import QuantileSketch
+
+        rng = np.random.default_rng(5)
+        data = rng.lognormal(0, 1, 200_000)
+        # build from 20 shards, merged in arbitrary order
+        shards = np.array_split(data, 20)
+        sketches = [QuantileSketch(k=256).update_many(s) for s in shards]
+        total = sketches[7]
+        for i, sk in enumerate(sketches):
+            if i != 7:
+                total = total.merge(sk)
+        qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+        est = total.quantiles(qs)
+        true = np.quantile(data, qs)
+        # rank error tolerance: compare achieved ranks, not values
+        for e, q in zip(est, qs):
+            rank = (data <= e).mean()
+            assert abs(rank - q) < 0.02, (q, rank)
+        assert total.n == len(data)
+
+    def test_serialization_roundtrip(self):
+        from datax_ray.ops.sketch import QuantileSketch
+
+        sk = QuantileSketch(k=64).update_many(np.arange(10_000.0))
+        sk2 = QuantileSketch.from_bytes(sk.to_bytes())
+        assert np.allclose(sk.quantiles([0.5]), sk2.quantiles([0.5]))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedQuantiles:
+    def test_one_pass_no_shuffle_quantiles(self):
+        from datax_ray.ops.sketch import distributed_quantiles
+
+        ds = rd.read_parquet("/root/testdata/sf0.01/lineitem.parquet",
+                             columns=["l_extendedprice", "l_returnflag"])
+        import pyarrow.parquet as pq
+
+        prices = pq.read_table(
+            "/root/testdata/sf0.01/lineitem.parquet", columns=["l_extendedprice"]
+        )["l_extendedprice"].to_numpy()
+        est = distributed_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.75])
+        for e, q in zip(est, [0.25, 0.5, 0.75]):
+            rank = (prices <= e).mean()
+            assert abs(rank - q) < 0.03
+
+        per_group = distributed_quantiles(
+            ds, "l_extendedprice", [0.5], group_col="l_returnflag"
+        )
+        assert set(per_group) == {"A", "N", "R"}
