@@ -453,8 +453,11 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
+    # threshold sits inside the data's actual cosine range (synthetic
+    # embeddings top out ~0.51 pairwise) so the LSH+verify path is
+    # exercised non-degenerately; n_bits low → decent recall at this θ
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_neardup_pairs(ds, dim=64, n_bits=6, threshold=0.98)
+    return embedding_neardup_pairs(ds, dim=64, n_bits=3, threshold=0.40)
 
 
 def q_multimodal_features(sf_dir: str):
