@@ -166,25 +166,28 @@ def run_scaling() -> dict:
     engine (cdc/exchange._pin_worker_threads) so a 8-CPU session cannot
     borrow idle cores through hidden IO/compute threads."""
     reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
+    # alternate levels and probe hardware capacity ADJACENT to every rep:
+    # shared sandbox hosts drift (noisy neighbors, frequency scaling), so a
+    # level is normalized by the capacity the machine actually had at that
+    # moment, and best-of-reps picks each level's steady state.
     res = {}
-    for ncpu in (8, 32):
-        best = None
-        for _ in range(reps):
-            env = dict(
-                os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPLAY_ONLY="1"
-            )
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, check=True,
-            )
-            r = json.loads(p.stdout.strip().splitlines()[-1])
-            if best is None or r["events_per_sec"] > best["events_per_sec"]:
-                best = r
-        res[ncpu] = best
+    order = [8, 32] * reps
+    for ncpu in order:
+        cap = cpu_capacity(ncpu)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPLAY_ONLY="1")
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        r = json.loads(p.stdout.strip().splitlines()[-1])
+        r["cpu_capacity"] = cap
+        prev = res.get(ncpu)
+        if prev is None or r["events_per_sec"] > prev["events_per_sec"]:
+            res[ncpu] = r
     tput8 = res[8]["events_per_sec"]
     tput32 = res[32]["events_per_sec"]
     raw_eff = tput32 / (4 * tput8)
-    cap8, cap32 = cpu_capacity(8), cpu_capacity(32)
+    cap8, cap32 = res[8]["cpu_capacity"], res[32]["cpu_capacity"]
     ceiling = cap32 / (4 * cap8)
     return {
         "metric": "cdc_replay_scaling",
