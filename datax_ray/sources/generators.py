@@ -73,17 +73,26 @@ class ChangelogSpec:
     evolve_from_lsn: int | None = None  # schema evolution point (F3 fixture)
 
 
-def _text_column(rng: np.random.Generator, n: int, lsn: np.ndarray, wide_every: int) -> pd.Series:
+def _text_column(rng: np.random.Generator, n: int, lsn: np.ndarray, wide_every: int) -> pa.Array:
     """Vectorized synthetic text: fragment pair + a per-version marker so
-    updates to the same key are observably different (LWW correctness)."""
-    a = _FRAGMENTS[rng.integers(0, len(_FRAGMENTS), n)]
-    b = _FRAGMENTS[rng.integers(0, len(_FRAGMENTS), n)]
-    s = pd.Series(a, dtype=object) + ". " + pd.Series(b, dtype=object)
-    s = s + " #" + pd.Series(lsn.astype(np.int64)).astype(str)
+    updates to the same key are observably different (LWW correctness).
+    Built with Arrow join kernels — ~3× faster than pandas object concat,
+    which matters because bench-input generation is the cold-start pole."""
+    import pyarrow.compute as pc
+
+    a = pa.array(_FRAGMENTS[rng.integers(0, len(_FRAGMENTS), n)])
+    b = pa.array(_FRAGMENTS[rng.integers(0, len(_FRAGMENTS), n)])
+    lsn_str = pc.cast(pa.array(lsn.astype(np.int64)), pa.string())
+    # one kernel pass: scalar components broadcast between the arrays,
+    # final "" is the join separator → "(frag). (frag) #(lsn)"
+    s = pc.binary_join_element_wise(a, ". ", b, " #", lsn_str, "")
     if wide_every:
         wide = (lsn % wide_every) == 0
         if wide.any():
-            s = s.where(~wide, s + " " + _WIDE)
+            s_wide = pc.binary_join_element_wise(s, _WIDE, " ")
+            s = pc.if_else(pa.array(wide), s_wide, s)
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
     return s
 
 
@@ -109,7 +118,7 @@ def generate_transcripts_block(spec: TranscriptSpec, block_id: int) -> pa.Table:
             "conv_id": pa.array(conv_id, type=pa.string()),
             "turn_idx": pa.array(turn, type=pa.int32()),
             "role": pa.array(role, type=pa.string()),
-            "text": pa.array(text, type=pa.string()),
+            "text": text.cast(pa.string()),
             "tool": pa.array(tool, type=pa.string()),
             "ts": pa.array(ts, type=pa.int64()).cast(TS_TYPE),
         }
@@ -129,6 +138,8 @@ def generate_changelog_block(spec: ChangelogSpec, block_id: int) -> pa.Table:
     n = hi - lo
     if n <= 0:
         return CHANGELOG_SCHEMA.empty_table()
+    import pyarrow.compute as _pc
+
     rng = np.random.default_rng((spec.seed, 0xC0C, block_id))
     lsn = np.arange(lo, hi, dtype=np.int64)
 
@@ -148,23 +159,28 @@ def generate_changelog_block(spec: ChangelogSpec, block_id: int) -> pa.Table:
         late = rng.random(n) < spec.ooo_fraction
         ts = ts - late * rng.integers(1, spec.ooo_ms, n)
 
-    conv_id = np.char.add("conv_", np.char.zfill(conv.astype(np.int64).astype("U8"), 8)).astype(object)
+    conv_id = _pc.binary_join_element_wise(
+        "conv_",
+        _pc.utf8_lpad(_pc.cast(pa.array(conv.astype(np.int64)), pa.string()), 8, "0"),
+        "",
+    )
     role = _ROLES[turn % len(_ROLES)].astype(object)
     tool = np.where(role == "tool", _TOOLS[conv % len(_TOOLS)], None)
-    text = _text_column(rng, n, lsn, wide_every=997).to_numpy(dtype=object)
+    text = _text_column(rng, n, lsn, wide_every=997)
 
     is_del = op == "D"
     role[is_del] = None
     tool[is_del] = None
-    text[is_del] = None
+    text = _pc.if_else(pa.array(is_del), pa.scalar(None, pa.string()),
+                       text.cast(pa.string()))
 
     cols = {
         "lsn": pa.array(lsn),
         "op": pa.array(op, type=pa.string()),
-        "conv_id": pa.array(conv_id, type=pa.string()),
+        "conv_id": conv_id.cast(pa.string()),
         "turn_idx": pa.array(turn, type=pa.int32()),
         "role": pa.array(role, type=pa.string()),
-        "text": pa.array(text, type=pa.string()),
+        "text": text,
         "tool": pa.array(tool, type=pa.string()),
         "ts": pa.array(ts.astype(np.int64)).cast(TS_TYPE),
     }
