@@ -41,6 +41,7 @@ manifest, same commits, byte-identical lakes — tested against each other):
 
 from __future__ import annotations
 
+import sys
 import time
 from dataclasses import dataclass
 from typing import Callable
@@ -210,7 +211,8 @@ def replay(
             print(
                 f"[replay] epoch {epoch} lsn=[{lo},{hi}) events={ev} "
                 f"parts={len(metrics_rows)} wall={wall:.2f}s "
-                f"({ev / max(wall, 1e-9):,.0f} ev/s)"
+                f"({ev / max(wall, 1e-9):,.0f} ev/s)",
+                file=sys.stderr,
             )
         _maybe_compact(manifest, lake_dir, epoch, compact_every)
 
@@ -305,7 +307,8 @@ def replay_files(
         if verbose:
             print(
                 f"[replay-x] epoch {epoch} lsn=[{lo},{hi}) events={ev} "
-                f"parts={len(metrics_rows)} commit_wait={wall:.2f}s"
+                f"parts={len(metrics_rows)} commit_wait={wall:.2f}s",
+                file=sys.stderr,
             )
         _maybe_compact(manifest, lake_dir, epoch, compact_every)
         submit_more()
