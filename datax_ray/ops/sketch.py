@@ -153,3 +153,78 @@ def distributed_quantiles(ds, column: str, qs, *, k: int = 256, seed: int = 17,
     if group_col is None:
         return result.get("", np.full(len(list(qs)), np.nan))
     return result
+
+
+class HyperLogLog:
+    """HLL distinct-count sketch (2^p registers, classic bias-corrected
+    estimator): mergeable by register-max — the standard distributed
+    COUNT DISTINCT companion to the quantile sketch."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def update_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        h = np.asarray(h, dtype=np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rem = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # rank = leading zeros of remainder + 1, vectorized via bit length
+        lz = np.zeros(len(h), dtype=np.uint8)
+        cur = rem.copy()
+        mask_top = np.uint64(1) << np.uint64(63)
+        alive = np.ones(len(h), dtype=bool)
+        for _ in range(64 - self.p + 1):
+            top = (cur & mask_top) != 0
+            done = alive & top
+            alive &= ~top
+            if not alive.any():
+                break
+            lz[alive] += 1
+            cur = cur << np.uint64(1)
+        rank = lz + 1
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def update_values(self, values) -> "HyperLogLog":
+        import pandas as pd
+
+        arr = np.asarray(values, dtype=object)
+        return self.update_hashes(pd.util.hash_array(arr, categorize=False))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # small-range correction
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "HyperLogLog":
+        h = cls(raw[0])
+        h.registers = np.frombuffer(raw[1:], dtype=np.uint8).copy()
+        return h
+
+
+def distributed_distinct_count(ds, column: str, *, p: int = 12) -> float:
+    """One-pass approximate COUNT(DISTINCT column): per-batch HLLs merged
+    on the driver — no shuffle, constant memory (2^p bytes per sketch)."""
+    def sk(t: pa.Table) -> pa.Table:
+        h = HyperLogLog(p).update_values(np.asarray(t[column], dtype=object))
+        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    rows = ds.map_batches(sk, batch_format="pyarrow").take_all()
+    total = HyperLogLog(p)
+    for r in rows:
+        total.merge(HyperLogLog.from_bytes(r["sketch"]))
+    return total.estimate()

@@ -74,3 +74,38 @@ def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
         return out
 
     return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+
+
+def sliding_agg(ds, *, key_col: str = "event_type", ts_col: str = "ts",
+                size_ms: int = 7_200_000, step_ms: int = 3_600_000,
+                value_col: str | None = None):
+    """Sliding (hopping) window aggregate: each event lands in
+    ``size/step`` windows — replicated vectorized with shifted window
+    starts (valid by construction when step divides size), then ONE
+    groupby. Window key is int64 epoch-us of the window start (kept
+    integral so SQL oracles compare exactly)."""
+    from ray.data.aggregate import Count, Sum
+
+    k = size_ms // step_ms
+    assert k * step_ms == size_ms, "step must divide size"
+
+    def explode(t: pa.Table) -> pa.Table:
+        unit = t[ts_col].type.unit
+        per_ms = {"s": 1 / 1000, "ms": 1, "us": 1000, "ns": 1_000_000}[unit]
+        to_us = {"s": 1_000_000, "ms": 1000, "us": 1, "ns": 1 / 1000}[unit]
+        raw = np.asarray(t[ts_col].cast(pa.int64())) * to_us
+        step_us = int(step_ms * 1000)
+        aligned = (raw // step_us) * step_us
+        parts = []
+        for i in range(k):
+            w = aligned - i * step_us
+            parts.append(
+                t.append_column("window_us", pa.array(w.astype(np.int64)))
+            )
+        return pa.concat_tables(parts)
+
+    ds = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    aggs = [Count(alias_name="n")]
+    if value_col:
+        aggs.append(Sum(value_col, alias_name="sum_value"))
+    return ds.groupby([key_col, "window_us"]).aggregate(*aggs)

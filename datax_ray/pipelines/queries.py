@@ -349,6 +349,25 @@ def q_events_windowed_agg(sf_dir: str):
     return _rename(out, {"sum_value": "sum_value_cents"})
 
 
+def q_events_sliding_agg(sf_dir: str):
+    """Hopping window (2h size, 1h step): every event counted in 2
+    windows; window key = int64 epoch-us of window start."""
+    from datax_ray.ops.window import sliding_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.round(
+            pc.multiply(t["value"], 100.0), round_mode="half_towards_infinity"
+        ).cast(pa.int64())
+        return t.set_column(t.schema.get_field_index("value"), "value", v)
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = sliding_agg(ds, key_col="event_type", ts_col="ts",
+                      size_ms=7_200_000, step_ms=3_600_000, value_col="value")
+    return _rename(out, {"sum_value": "sum_value_cents"})
+
+
 def q_events_sessionize(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
     return sessionize(ds, key_col="user_id", ts_col="ts", gap_ms=1_800_000)
@@ -577,6 +596,14 @@ SELECT event_type, date_trunc('hour', ts) AS window, count(*) AS n,
   sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """.strip(),
+    "events_sliding_agg": """
+SELECT event_type,
+  (epoch_us(ts) // 3600000000) * 3600000000 - i.i * 3600000000 AS window_us,
+  count(*) AS n,
+  sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) i
+GROUP BY 1, 2
+""".strip(),
     "events_sessionize": """
 WITH d AS (
   SELECT user_id, ts,
@@ -684,6 +711,7 @@ QUERIES = {
     "stream_constants": q_stream_constants,
     "agg_pricing_summary": q_agg_pricing_summary,
     "events_windowed_agg": q_events_windowed_agg,
+    "events_sliding_agg": q_events_sliding_agg,
     "events_sessionize": q_events_sessionize,
     "topk_orders": q_topk_orders,
     "distinct_counts": q_distinct_counts,

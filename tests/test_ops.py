@@ -226,3 +226,37 @@ class TestDistributedQuantiles:
             ds, "l_extendedprice", [0.5], group_col="l_returnflag"
         )
         assert set(per_group) == {"A", "N", "R"}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHyperLogLog:
+    def test_estimate_accuracy_and_merge(self):
+        from datax_ray.ops.sketch import HyperLogLog, distributed_distinct_count
+
+        rng = np.random.default_rng(9)
+        vals = rng.integers(0, 50_000, 200_000)  # ~49.1k distinct expected
+        true = len(np.unique(vals))
+        shards = np.array_split(vals, 10)
+        hlls = [HyperLogLog(12).update_values(s.astype(object)) for s in shards]
+        total = hlls[0]
+        for h in hlls[1:]:
+            total.merge(h)
+        est = total.estimate()
+        assert abs(est - true) / true < 0.05
+        # serialization survives
+        from datax_ray.ops.sketch import HyperLogLog as H
+        assert abs(H.from_bytes(total.to_bytes()).estimate() - est) < 1e-6
+
+    def test_distributed_distinct_orders(self):
+        from datax_ray.ops.sketch import distributed_distinct_count
+
+        ds = rd.read_parquet("/root/testdata/sf0.01/orders.parquet",
+                             columns=["o_custkey"])
+        import duckdb
+
+        true = duckdb.sql(
+            "SELECT count(DISTINCT o_custkey) FROM "
+            "read_parquet('/root/testdata/sf0.01/orders.parquet')"
+        ).fetchone()[0]
+        est = distributed_distinct_count(ds, "o_custkey", p=12)
+        assert abs(est - true) / true < 0.05
