@@ -176,7 +176,6 @@ class HyperLogLog:
         alive = np.ones(len(h), dtype=bool)
         for _ in range(64 - self.p + 1):
             top = (cur & mask_top) != 0
-            done = alive & top
             alive &= ~top
             if not alive.any():
                 break

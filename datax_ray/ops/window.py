@@ -91,7 +91,6 @@ def sliding_agg(ds, *, key_col: str = "event_type", ts_col: str = "ts",
 
     def explode(t: pa.Table) -> pa.Table:
         unit = t[ts_col].type.unit
-        per_ms = {"s": 1 / 1000, "ms": 1, "us": 1000, "ns": 1_000_000}[unit]
         to_us = {"s": 1_000_000, "ms": 1000, "us": 1, "ns": 1 / 1000}[unit]
         raw = np.asarray(t[ts_col].cast(pa.int64())) * to_us
         step_us = int(step_ms * 1000)
