@@ -148,9 +148,12 @@ def run_bench() -> dict:
         ]
         for name in subset:
             t0 = time.perf_counter()
-            resq = Q.QUERIES[name](sf_dir)
-            n = resq.count() if hasattr(resq, "count") else len(resq)
-            out["queries"][name] = round(time.perf_counter() - t0, 3)
+            try:
+                resq = Q.QUERIES[name](sf_dir)
+                _ = resq.count() if hasattr(resq, "count") else len(resq)
+                out["queries"][name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # one broken query must not kill the line
+                out["queries"][name] = f"error: {type(e).__name__}"
     ray.shutdown()
     return out
 
