@@ -148,7 +148,11 @@ def replay_files_stateful(
         file_lsn_ranges,
         files_overlapping,
     )
-    from datax_ray.cdc.replay import ReplayResult, plan_epochs
+    from datax_ray.cdc.replay import (
+        ReplayResult,
+        plan_epochs,
+        validate_committed_epochs,
+    )
     from datax_ray.sources.parquet import changelog_files, unified_schema_of
 
     files = changelog_files(changelog_path)
@@ -160,12 +164,11 @@ def replay_files_stateful(
     )
     pool = pool or MergeActorPool(lake_dir, num_actors)
     map_split, _ = _get_remotes(num_partitions)
-    committed = manifest.committed_epochs()
     epochs = plan_epochs(max_lsn_exclusive, epoch_size)
+    committed = validate_committed_epochs(manifest, epochs)
 
     t_start = time.perf_counter()
     run_events, n_run, n_skip = 0, 0, 0
-    first_touch: set[int] = set()
     for epoch, (lo, hi) in enumerate(epochs):
         if epoch in committed:
             n_skip += 1
@@ -182,8 +185,12 @@ def replay_files_stateful(
             maps = [[m] for m in maps]
         applies = []
         for p in range(num_partitions):
-            cf = manifest.partition_files(p) if p not in first_touch else []
-            first_touch.add(p)
+            # ALWAYS pass the committed file list: the actor skips the load
+            # when the partition is resident, and an evicted (or restarted)
+            # partition rebuilds from the lake instead of from empty state —
+            # passing [] after first touch would silently lose all pre-evict
+            # rows at the next snapshot.
+            cf = manifest.partition_files(p)
             applies.append(
                 pool.owner(p).apply.remote(epoch, p, cf, *[m[p] for m in maps])
             )

@@ -87,7 +87,9 @@ def make_epoch_apply(lake_dir: str, epoch: int) -> Callable[[pa.Table], pa.Table
         else:
             events = group.num_rows
         folded = lww_fold_table(group, drop_deletes=False)
-        drop = [c for c in (EVENT_WEIGHT_COL,) if c in folded.column_names]
+        # drop bookkeeping cols so delta files are byte-identical across the
+        # three replay paths (exchange/actor paths never carry 'part')
+        drop = [c for c in (EVENT_WEIGHT_COL, "part") if c in folded.column_names]
         if drop:
             folded = folded.drop_columns(drop)
         path = delta_path(lake_dir, part, epoch)
@@ -138,6 +140,30 @@ def plan_epochs(max_lsn_exclusive: int, epoch_size: int | None) -> list[tuple[in
     ]
 
 
+def validate_committed_epochs(
+    manifest: Manifest, epochs: list[tuple[int, int]]
+) -> set[int]:
+    """Match committed epochs against this run's plan by lsn RANGE, not just
+    index. Resuming a partially-committed lake with a different
+    ``epoch_size`` or ``max_lsn_exclusive`` renumbers the plan; index-only
+    matching would then silently skip or double-apply events, breaking
+    exactly-once. Raises on any range mismatch so the caller must resume
+    with the original epoch parameters (or start a fresh lake)."""
+    committed: dict[int, tuple[int, int]] = {
+        int(e["epoch"]): (int(e["lsn_lo"]), int(e["lsn_hi"]))
+        for e in manifest.state["epochs"]
+    }
+    for epoch, rng in committed.items():
+        if epoch >= len(epochs) or epochs[epoch] != rng:
+            planned = epochs[epoch] if epoch < len(epochs) else None
+            raise ValueError(
+                f"resume plan mismatch: committed epoch {epoch} covers "
+                f"lsn={rng} but this run's plan has {planned}; resume with "
+                "the original epoch_size/max_lsn_exclusive or use a new lake"
+            )
+    return set(committed)
+
+
 def replay(
     source: Callable[[int, int], "object"],
     *,
@@ -164,8 +190,8 @@ def replay(
         source=source_desc,
         run_id=run_id,
     )
-    committed = manifest.committed_epochs()
     epochs = plan_epochs(max_lsn_exclusive, epoch_size)
+    committed = validate_committed_epochs(manifest, epochs)
 
     t_start = time.perf_counter()
     run_events = 0
@@ -255,8 +281,8 @@ def replay_files(
         lake_dir, num_partitions=num_partitions,
         source=changelog_path, run_id=run_id,
     )
-    committed = manifest.committed_epochs()
     epochs = plan_epochs(max_lsn_exclusive, epoch_size)
+    committed = validate_committed_epochs(manifest, epochs)
 
     t_start = time.perf_counter()
     run_events, n_run = 0, 0

@@ -21,6 +21,7 @@ Job spec:
        },
        "setting": {
          "errorLimit": {"record": 0, "percentage": 0.02},
+         "speed": {"record": 10000, "byte": 1048576},
          "deadLetterDir": "/tmp/dead",
          "hooks": ["pkg.module:function"]
        }}}
@@ -142,14 +143,37 @@ def _run_writer(name: str, p: dict[str, Any], ds, resume: bool) -> dict[str, Any
     raise JobError(f"unknown writer: {name}")
 
 
+def _dead_letter_rows(dead_letter_dir: str | None, before: set[str]) -> int:
+    """Count rows dead-lettered by THIS run (files not present before),
+    via parquet footers only — no data read."""
+    if not dead_letter_dir or not os.path.isdir(dead_letter_dir):
+        return 0
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(dead_letter_dir):
+        path = os.path.join(dead_letter_dir, name)
+        if path not in before and name.endswith(".parquet"):
+            total += pq.read_metadata(path).num_rows
+    return total
+
+
 def _run_lake_upsert(reader_p: dict, writer_p: dict, resume: bool,
                      transform_specs: list | None = None,
-                     verbose: bool = True) -> dict[str, Any]:
+                     dead_letter_dir: str | None = None,
+                     verbose: bool = True) -> tuple[dict[str, Any], dict[str, int]]:
     """The CDC job: changelog reader + lake_upsert writer = replay engine.
     Transformers run reader-side ahead of the exchange (the reference's
-    chain-before-channel contract)."""
+    chain-before-channel contract). Malformed events route to the job's
+    deadLetterDir and count against the error budget, matching the
+    dirty-record contract of the non-CDC path."""
     from datax_ray.cdc.replay import replay_files
 
+    dl_before: set[str] = set()
+    if dead_letter_dir and os.path.isdir(dead_letter_dir):
+        dl_before = {
+            os.path.join(dead_letter_dir, n) for n in os.listdir(dead_letter_dir)
+        }
     res = replay_files(
         reader_p["path"],
         lake_dir=writer_p["path"],
@@ -161,14 +185,18 @@ def _run_lake_upsert(reader_p: dict, writer_p: dict, resume: bool,
         run_id=writer_p.get("runId"),
         verbose=verbose,
         transform_specs=transform_specs,
+        dead_letter_dir=dead_letter_dir,
     )
+    dirty = _dead_letter_rows(dead_letter_dir, dl_before)
+    totals = {"input": res.events_applied + dirty, "dirty": dirty}
     return {
         "epochs_run": res.epochs_run,
         "epochs_skipped": res.epochs_skipped,
         "events_applied": res.events_applied,
         "events_per_sec": round(res.events_per_sec, 1),
+        "dead_lettered": dirty,
         "partition_metrics": res.manifest.metrics_by_partition(),
-    }
+    }, totals
 
 
 def run_job(spec: dict[str, Any], *, dry_run: bool = False,
@@ -191,13 +219,22 @@ def run_job(spec: dict[str, Any], *, dry_run: bool = False,
 
     t0 = time.perf_counter()
     if reader["name"] == "changelog" and writer["name"] == "lake_upsert":
-        result = _run_lake_upsert(
+        result, totals = _run_lake_upsert(
             reader.get("parameter", {}), writer.get("parameter", {}), resume,
             transform_specs=transformer_specs or None,
+            dead_letter_dir=setting.get("deadLetterDir"),
         )
-        totals = {}
     else:
         ds = _build_reader(reader["name"], reader.get("parameter", {}))
+        speed = setting.get("speed") or {}
+        if speed.get("record") or speed.get("byte"):
+            # flow control (Channel.java:176-239): global token-bucket
+            # throttle right after the read
+            from datax_ray.transforms.speed import make_throttle
+
+            ds = ds.map_batches(
+                make_throttle(speed), batch_format="pyarrow", zero_copy_batch=True
+            )
         counters = None
         if transforms:
             from datax_ray.transforms import Counters, TransformChain

@@ -33,6 +33,59 @@ import pyarrow.compute as pc
 from datax_ray.cdc.merge import _last_per_key_mask, stable_hash
 from datax_ray.ops.text import add_fingerprint, add_simhash
 
+#: Hot-bucket ceiling for in-bucket pair generation. A degenerate band hash
+#: (empty docs, boilerplate) can put millions of docs in one LSH bucket;
+#: np.triu_indices over that is O(n²) compute AND output — a scale-killer.
+#: Buckets above the cap are sub-split into id-sorted chunks of ``cap``:
+#: all pairs within each chunk + links between consecutive chunk
+#: representatives (so a truly-degenerate all-duplicates bucket still forms
+#: ONE connected component downstream). Work becomes O(n·cap). The recall
+#: cost is only cross-chunk pairs inside oversized buckets — which are, by
+#: construction, the buckets whose pair set nobody can afford anyway.
+DEFAULT_BUCKET_CAP = 2048
+
+
+def _bucket_pair_indices(n: int, cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """(ia, ib) candidate index pairs for an n-doc bucket under the hot-
+    bucket cap; input indices must refer to an id-sorted order."""
+    if n <= cap:
+        return np.triu_indices(n, k=1)
+    ia_list, ib_list = [], []
+    for s in range(0, n, cap):
+        m = min(cap, n - s)
+        ia, ib = np.triu_indices(m, k=1)
+        ia_list.append(ia + s)
+        ib_list.append(ib + s)
+    reps = np.arange(0, n, cap)
+    ia_list.append(reps[:-1])
+    ib_list.append(reps[1:])
+    return np.concatenate(ia_list), np.concatenate(ib_list)
+
+
+def _distinct_pairs(pairs_ds, *, num_partitions: int = 16):
+    """Drop duplicate (id_a, id_b) rows (a pair surfaces once per shared
+    band): hash-partition by the pair key, then ONE vectorized
+    sort+boundary-mask distinct per partition — no per-pair group calls."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_part", pa.array([], pa.int32()))
+        a = np.asarray(t["id_a"]).astype(np.int64)
+        b = np.asarray(t["id_b"]).astype(np.int64)
+        key = a * np.int64(1_000_003) + b  # wraparound ok: deterministic
+        part = (stable_hash(key) % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = _first_per_key(g, ["id_a", "id_b"], [])
+        return g.drop_columns(["_part"])
+
+    return (
+        pairs_ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
 
 # ------------------------------------------------------------- exact dedup
 def _first_per_key(table: pa.Table, key_cols, order_cols) -> pa.Table:
@@ -74,7 +127,8 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 # --------------------------------------------------------------- simhash
 def simhash_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                       max_hamming: int = 3):
+                       max_hamming: int = 3,
+                       bucket_cap: int = DEFAULT_BUCKET_CAP):
     """Near-dup candidate pairs via banded SimHash: 4 bands of 16 bits —
     any pair within Hamming distance 3 shares ≥1 band (pigeonhole).
     Returns (id_a, id_b, hamming) pairs with id_a < id_b, deduplicated."""
@@ -111,7 +165,7 @@ def simhash_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
         sh = np.asarray(g["simhash"]).astype(np.uint64)
         order = np.argsort(ids)
         ids, sh = ids[order], sh[order]
-        ia, ib = np.triu_indices(len(ids), k=1)
+        ia, ib = _bucket_pair_indices(len(ids), bucket_cap)
         x = sh[ia] ^ sh[ib]
         ham = np.zeros(len(x), dtype=np.int64)
         for _ in range(64):  # popcount via vectorized bit-clear loop
@@ -132,10 +186,8 @@ def simhash_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
         .groupby(["band", "band_hash"])
         .map_groups(pairs, batch_format="pyarrow")
     )
-    # same pair can surface from multiple bands → dedup
-    return out.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    # same pair can surface from multiple bands → vectorized distinct
+    return _distinct_pairs(out)
 
 
 # --------------------------------------------------------------- minhash
@@ -151,7 +203,8 @@ def minhash_signature_batch(texts: list[str | None], num_perm: int, shingle_k: i
 
 def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
                            num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
-                           threshold: float = 0.5, seed: int = 7):
+                           threshold: float = 0.5, seed: int = 7,
+                           bucket_cap: int = DEFAULT_BUCKET_CAP):
     """MinHash + LSH near-dup pairs: shingle → minhash → band → bucket
     groupby → pairwise signature-estimated Jaccard ≥ threshold.
     Returns (id_a, id_b, est_jaccard)."""
@@ -195,7 +248,7 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
         sigs = np.stack(g["sig"].to_numpy(zero_copy_only=False))
         order = np.argsort(ids)
         ids, sigs = ids[order], sigs[order]
-        ia, ib = np.triu_indices(len(ids), k=1)
+        ia, ib = _bucket_pair_indices(len(ids), bucket_cap)
         est = (sigs[ia] == sigs[ib]).mean(axis=1)
         keep = est >= threshold
         if not keep.any():
@@ -210,9 +263,7 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
         .groupby(["band", "band_hash"])
         .map_groups(pairs, batch_format="pyarrow")
     )
-    return out.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _distinct_pairs(out)
 
 
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
@@ -255,7 +306,8 @@ def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
 # -------------------------------------------------------- embedding LSH
 def embedding_neardup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
                             dim: int, n_bits: int = 8, threshold: float = 0.9,
-                            seed: int = 11):
+                            seed: int = 11,
+                            bucket_cap: int = DEFAULT_BUCKET_CAP):
     """Near-dup pairs by cosine ≥ threshold: sign-LSH random-hyperplane
     buckets, exact cosine inside buckets. Pairs in different buckets are
     missed with probability (1 - θ/π)^n_bits — the standard LSH recall
@@ -264,6 +316,12 @@ def embedding_neardup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "ve
     planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
 
     def bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()),
+                 id_col: pa.array([], t.schema.field(id_col).type),
+                 vec_col: pa.array([], t.schema.field(vec_col).type)}
+            )
         vecs = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float32)
         signs = (vecs @ planes) > 0
         code = (signs.astype(np.uint32) << np.arange(n_bits, dtype=np.uint32)).sum(axis=1)
@@ -289,9 +347,10 @@ def embedding_neardup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "ve
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
         unit = vecs / norms[:, None]
-        sim = unit @ unit.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        cs = sim[ia, ib]
+        # cosine only on the candidate index pairs (capped) — never the
+        # full O(n²·d) bucket gram matrix
+        ia, ib = _bucket_pair_indices(len(ids), bucket_cap)
+        cs = np.einsum("ij,ij->i", unit[ia], unit[ib])
         keep = cs >= threshold
         if not keep.any():
             return empty

@@ -16,6 +16,13 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+#: typed schema for candidate rows — every code path (including empties)
+#: emits it, so no schema-less blocks reach the executor
+_CAND_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+     ("cosine", pa.float64())]
+)
+
 
 def _as_matrix(col) -> np.ndarray:
     return np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
@@ -39,6 +46,8 @@ def knn_bruteforce(ds, query_ids: np.ndarray, query_matrix: np.ndarray, *, k: in
     qref = ray.put((np.asarray(query_ids), q_unit))
 
     def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _CAND_SCHEMA.empty_table()
         qids, qm = ray.get(qref)
         vecs = _unit(_as_matrix(t[vec_col]))
         ids = np.asarray(t[id_col])
@@ -58,7 +67,8 @@ def knn_bruteforce(ds, query_ids: np.ndarray, query_matrix: np.ndarray, *, k: in
                 "query_id": pa.array(rows[keep]),
                 "neighbor_id": pa.array(cand_ids[keep]),
                 "cosine": pa.array(cand_sim[keep]),
-            }
+            },
+            schema=_CAND_SCHEMA,
         )
 
     def reduce_topk(g: pa.Table) -> pa.Table:
@@ -100,21 +110,21 @@ def knn_ivf(ds, query_ids: np.ndarray, query_matrix: np.ndarray, *, k: int = 5,
     cref = ray.put((centroids, np.asarray(query_ids), q_unit, probe))
 
     def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_bucket", pa.array([], pa.int32()))
         cents, _, _, _ = ray.get(cref)
         vecs = _unit(_as_matrix(t[vec_col]))
         bucket = np.argmax(vecs @ cents.T, axis=1).astype(np.int32)
         return t.append_column("_bucket", pa.array(bucket))
 
     def scan_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _CAND_SCHEMA.empty_table()
         cents, qids, qm, prb = ray.get(cref)
         b = g["_bucket"][0].as_py()
         q_sel = np.nonzero((prb == b).any(axis=1))[0]
-        empty = pa.table(
-            {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
-             "cosine": pa.array([], pa.float64())}
-        )
         if len(q_sel) == 0:
-            return empty
+            return _CAND_SCHEMA.empty_table()
         vecs = _unit(_as_matrix(g[vec_col]))
         ids = np.asarray(g[id_col])
         sim = np.round(qm[q_sel] @ vecs.T, digits)
@@ -128,7 +138,8 @@ def knn_ivf(ds, query_ids: np.ndarray, query_matrix: np.ndarray, *, k: int = 5,
         keep = np.isfinite(cand_sim)
         return pa.table(
             {"query_id": pa.array(rows[keep]), "neighbor_id": pa.array(cand_ids[keep]),
-             "cosine": pa.array(cand_sim[keep])}
+             "cosine": pa.array(cand_sim[keep])},
+            schema=_CAND_SCHEMA,
         )
 
     def reduce_topk(g: pa.Table) -> pa.Table:

@@ -98,11 +98,16 @@ def add_lang_id(batch: pa.Table, col: str = "text", out: str = "lang_pred") -> p
 
 
 def add_fingerprint(batch: pa.Table, col: str = "text", out: str = "fingerprint",
-                    mode: str = "md5") -> pa.Table:
-    """md5 of lowercase whitespace-collapsed, edge-stripped text — the
-    canonical-form document fingerprint. Pure-regex normalization so the
-    SQL oracle (DuckDB, same RE2) is bit-identical:
-    md5(regexp_replace(regexp_replace(lower(text),'\\s+',' ','g'),'^ | $','','g'))."""
+                    mode: str = "fast") -> pa.Table:
+    """Canonical-form document fingerprint over lowercase
+    whitespace-collapsed, edge-stripped text.
+
+    Default ``mode='fast'``: 128 bits from two independent vectorized
+    siphashes — the scale path, no per-row Python hashing. ``mode='md5'``
+    exists for SQL-oracle parity (DuckDB, same RE2 normalization):
+    md5(regexp_replace(regexp_replace(lower(text),'\\s+',' ','g'),'^ | $','','g'))
+    — it hashes per row in Python, so it is ONLY for oracle-matched queries,
+    never the replay/bench path. Both modes induce identical grouping."""
     norm = pc.replace_substring_regex(
         pc.replace_substring_regex(pc.utf8_lower(batch[col]), r"\s+", " "),
         r"^ | $",

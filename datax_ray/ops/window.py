@@ -10,7 +10,6 @@ key fit one group (Ray's groupby guarantees key co-location)."""
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -43,37 +42,82 @@ def tumbling_agg(ds, *, key_col: str = "event_type", ts_col: str = "ts",
     out = ds.groupby([key_col, "window"]).aggregate(
         Count(alias_name="n"), Sum(value_col, alias_name="sum_value")
     )
-    return out.map_batches(
-        lambda t: t.set_column(
+
+    def post(t: pa.Table) -> pa.Table:
+        t = t.set_column(
             t.schema.get_field_index("sum_value"),
             "sum_value",
             pc.round(t["sum_value"], ndigits=digits),
-        ),
-        batch_format="pyarrow",
-    )
+        )
+        # emit window as timestamp[us] — the unit SQL date_trunc produces —
+        # so oracle comparisons are representation-exact
+        return t.set_column(
+            t.schema.get_field_index("window"),
+            "window",
+            t["window"].cast(pa.timestamp("us")),
+        )
+
+    return out.map_batches(post, batch_format="pyarrow")
 
 
 def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
-               gap_ms: int = 1_800_000):
+               gap_ms: int = 1_800_000, num_partitions: int = 64):
     """Gap-based sessions per key: events sorted by ts; a gap > gap_ms
     starts a new session. Output one row per session:
-    (key, session_start, session_end, n_events)."""
+    (key, session_start, session_end, n_events).
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col]).reset_index(drop=True)
-        ts = g[ts_col]
-        gap = ts.diff().dt.total_seconds().mul(1000).fillna(np.inf)
-        sid = (gap > gap_ms).cumsum()
-        out = g.groupby(sid).agg(
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-            n_events=(ts_col, "size"),
-        ).reset_index(drop=True)
-        out.insert(0, key_col, g[key_col].iloc[0])
-        out["n_events"] = out["n_events"].astype("int64")
-        return out
+    Scale shape: hash-partition by key (all rows of one key co-located),
+    then ONE vectorized kernel pass per partition — sort by (key, ts),
+    boundary mask where the key changes or the gap exceeds gap_ms, sessions
+    = the segments between boundaries. P partition calls total, not one
+    Python call per key (millions of keys would drown in per-group
+    overhead)."""
+    from datax_ray.cdc.merge import stable_hash_partition
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    def add_part(t: pa.Table) -> pa.Table:
+        part = stable_hash_partition(t[key_col], num_partitions)
+        return t.append_column("part", pa.array(part, type=pa.int32()))
+
+    def sessions_partition(g: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                (key_col, g.schema.field(key_col).type),
+                ("session_start", g.schema.field(ts_col).type),
+                ("session_end", g.schema.field(ts_col).type),
+                ("n_events", pa.int64()),
+            ]
+        )
+        n = g.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        g = g.sort_by([(key_col, "ascending"), (ts_col, "ascending")])
+        key = np.asarray(g[key_col])
+        raw = np.asarray(g[ts_col].combine_chunks().cast(pa.int64()))
+        per_ms = {"s": 0.001, "ms": 1, "us": 1000, "ns": 1_000_000}[
+            g[ts_col].type.unit
+        ]
+        gap_units = gap_ms * per_ms
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (key[1:] != key[:-1]) | ((raw[1:] - raw[:-1]) > gap_units)
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [n]]) - 1
+        idx_s = pa.array(starts)
+        ts_arr = g[ts_col].combine_chunks()
+        return pa.table(
+            {
+                key_col: g[key_col].take(idx_s),
+                "session_start": ts_arr.take(idx_s),
+                "session_end": ts_arr.take(pa.array(ends)),
+                "n_events": pa.array(
+                    np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+                ),
+            },
+            schema=out_schema,
+        )
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("part").map_groups(sessions_partition, batch_format="pyarrow")
 
 
 def sliding_agg(ds, *, key_col: str = "event_type", ts_col: str = "ts",

@@ -438,7 +438,9 @@ def q_text_langid(sf_dir: str):
 def q_text_fingerprint(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
-        lambda t: add_fingerprint(t).select(["doc_id", "fingerprint"]),
+        # mode='md5' ONLY here: the oracle compares fingerprint VALUES
+        # (everywhere else the default vectorized 'fast' mode is used)
+        lambda t: add_fingerprint(t, mode="md5").select(["doc_id", "fingerprint"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -551,6 +553,22 @@ ORACLES: dict[str, str] = {
         "WITH " + CHANGELOG_CTE.strip()
         + "\nSELECT op, count(*) AS n FROM changelog GROUP BY op"
     ),
+    # evolution point = num_rows // 2 (q_cdc_schema_evolution), tool_args is
+    # a CASE over (lsn, role); fold then keeps the winner's evolved columns
+    "cdc_schema_evolution": (
+        "WITH " + CHANGELOG_CTE.strip() + """,
+ evolved AS (
+   SELECT *, CASE WHEN lsn >= (SELECT count(*) // 2 FROM events)
+                   AND role IS NOT NULL
+              THEN 'arg_' || CAST(lsn AS VARCHAR) END AS tool_args
+   FROM changelog)
+SELECT conv_id, turn_idx, role, text, tool, ts, tool_args FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM evolved)
+WHERE rn = 1 AND op <> 'D'
+"""
+    ),
     "dx_substr": (
         "SELECT doc_id, substr(text, 6, 20) AS text_sub "
         "FROM documents WHERE length(text) >= 5"
@@ -581,26 +599,29 @@ ORACLES: dict[str, str] = {
         "3.14 AS c_double, TRUE AS c_bool, "
         "TIMESTAMP '2024-01-01 00:00:00' AS c_date FROM range(1000)"
     ),
+    # NOTE: DuckDB sum(BIGINT) returns HUGEINT (→ float64 in pandas); every
+    # sum below is CAST back to BIGINT so dtypes match the engine's int64.
     "agg_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_cents,
-  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
-      AS sum_disc_cents,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+      AS sum_base_cents,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+      AS BIGINT) AS sum_disc_cents,
   count(*) AS count_order,
   round(sum(CAST(l_quantity AS BIGINT)) / CAST(count(*) AS DOUBLE), 6) AS avg_qty
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """.strip(),
     "events_windowed_agg": """
 SELECT event_type, date_trunc('hour', ts) AS window, count(*) AS n,
-  sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents
+  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """.strip(),
     "events_sliding_agg": """
 SELECT event_type,
   (epoch_us(ts) // 3600000000) * 3600000000 - i.i * 3600000000 AS window_us,
   count(*) AS n,
-  sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents
+  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) i
 GROUP BY 1, 2
 """.strip(),

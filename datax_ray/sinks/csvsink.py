@@ -69,7 +69,7 @@ class CsvBlockWriter:
         null_format: str = DEFAULT_NULL_FORMAT,
         header: bool = False,
         date_format: str = "%Y-%m-%d %H:%M:%S",
-        compress: str | None = None,  # None | 'gzip'
+        compress: str | None = None,  # None | 'gzip' | 'bzip2'
     ):
         self.path = path
         self.prefix = prefix
@@ -111,12 +111,17 @@ class CsvBlockWriter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         data = self._serialize(batch)
-        ext = ".csv.gz" if self.compress == "gzip" else ".csv"
+        ext = {"gzip": ".csv.gz", "bzip2": ".csv.bz2"}.get(self.compress, ".csv")
         name = f"{self.prefix}__{uuid.uuid4().hex}{ext}"
         tmp = os.path.join(self.path, f".tmp.{name}")
         final = os.path.join(self.path, name)
         if self.compress == "gzip":
             with gzip.open(tmp, "wb") as f:
+                f.write(data)
+        elif self.compress == "bzip2":
+            import bz2
+
+            with bz2.open(tmp, "wb") as f:
                 f.write(data)
         else:
             with open(tmp, "wb") as f:

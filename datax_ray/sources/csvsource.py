@@ -170,9 +170,11 @@ def _cast_typed(raw: pa.Array, ce: ColumnEntry) -> tuple[pa.Array, np.ndarray]:
 def _peek_first_line(path: str, delim: str) -> tuple[int, list[str]]:
     """Column count + (possible) header names from the first line; naive
     split is fine for counting (quoted delimiters are rare in headers)."""
+    import bz2
     import gzip
 
-    opener = gzip.open if path.endswith(".gz") else open
+    opener = (gzip.open if path.endswith(".gz")
+              else bz2.open if path.endswith(".bz2") else open)
     with opener(path, "rt") as f:
         line = f.readline().rstrip("\r\n")
     fields = line.split(delim)
@@ -191,8 +193,10 @@ def read_csv(
 ):
     """DataX-style CSV read → Dataset with typed schema.
 
-    Compression: gzip handled natively by Arrow based on file extension
-    (the reference's exotic codecs — lzo, rc — are out of scope).
+    Compression: gzip and bzip2 handled natively by Arrow based on file
+    extension (UnstructuredStorageReaderUtil.java:88-237 supports
+    gzip/bzip2/zip; the reference's exotic codecs — lzo, rc — are out of
+    scope, zip is an archive not a stream codec).
     """
     from pyarrow import csv as pacsv
     import ray.data as rd

@@ -101,6 +101,32 @@ class Manifest:
             os.fsync(f.fileno())
         os.replace(tmp, self.path)
 
+    def _reload_and_fence(self) -> None:
+        """Re-read the on-disk manifest and verify this run still owns it.
+
+        A newer run takes ownership by rewriting ``run_id`` in
+        ``load_or_create``; any commit attempted afterwards by the old run
+        must abort rather than clobber the new owner's state — the same
+        contract as otsstreamreader's StreamJob version-mismatch abort
+        (OTSStreamReaderMasterProxy.java:28-63). Merging into the freshly
+        loaded state (instead of writing the stale in-memory copy) keeps
+        commits monotonic even within a run.
+        """
+        try:
+            with open(self.path) as f:
+                disk = json.load(f)
+        except FileNotFoundError:
+            raise FencedError(
+                f"manifest at {self.path} disappeared — lake deleted or "
+                "taken over by another run"
+            ) from None
+        if disk.get("run_id") != self.run_id:
+            raise FencedError(
+                f"lake at {self.lake_dir} is owned by run "
+                f"{disk.get('run_id')!r}; this run is {self.run_id!r}"
+            )
+        self.state = disk
+
     # ------------------------------------------------------------- queries
     @property
     def run_id(self) -> str:
@@ -145,7 +171,9 @@ class Manifest:
     ) -> None:
         """Publish one epoch atomically. ``part_results`` rows come from the
         merge tasks: {part, file, rows, events, bytes, secs, max_lsn, max_ts_ms}.
-        Idempotent: committing an already-committed epoch is a no-op."""
+        Idempotent: committing an already-committed epoch is a no-op.
+        Fenced: raises FencedError if another run has taken ownership."""
+        self._reload_and_fence()
         if epoch in self.committed_epochs():
             return
         now_ms = int(time.time() * 1000)
@@ -181,6 +209,7 @@ class Manifest:
         self._write()
 
     def commit_compaction(self, part: int, base_file: str, removed: list[str]) -> None:
+        self._reload_and_fence()
         p = self.partition(part)
         p["base"] = base_file
         p["deltas"] = [d for d in p["deltas"] if d not in set(removed)]

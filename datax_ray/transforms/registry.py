@@ -11,6 +11,7 @@ by name with kwargs, e.g.::
 
 from __future__ import annotations
 
+import importlib
 from typing import Any, Callable
 
 from datax_ray.transforms.dx import (
@@ -22,6 +23,21 @@ from datax_ray.transforms.dx import (
     Transform,
 )
 
+def _resolve_fn(fn) -> Callable:
+    """Accept a live callable OR a ``"module:function"`` string so dx_python
+    is reachable from a plain JSON job spec — the escape hatch dx_groovy
+    gives DataX users by embedding code in the job file
+    (GroovyTransformer.java:24-88). Same convention as setting.hooks."""
+    if callable(fn):
+        return fn
+    if isinstance(fn, str) and ":" in fn:
+        mod, _, name = fn.partition(":")
+        return getattr(importlib.import_module(mod), name)
+    raise TypeError(
+        f"dx_python fn must be a callable or 'module:function' string, got {fn!r}"
+    )
+
+
 _REGISTRY: dict[str, Callable[..., Transform]] = {
     "dx_substr": lambda column, start, length, **_: DxSubstr(column, int(start), int(length)),
     "dx_pad": lambda column, pad_type, length, pad_string, **_: DxPad(
@@ -31,7 +47,7 @@ _REGISTRY: dict[str, Callable[..., Transform]] = {
         column, int(start), int(length), replace_string
     ),
     "dx_filter": lambda column, op, value, **_: DxFilter(column, op, value),
-    "dx_python": lambda fn, **_: DxPython(fn),
+    "dx_python": lambda fn, **_: DxPython(_resolve_fn(fn)),
 }
 
 

@@ -50,7 +50,10 @@ def retry_call(
 
 class TokenBucket:
     """Simple token bucket: ``acquire(n)`` blocks until n units fit under
-    ``rate`` per second (burst up to ``burst`` units)."""
+    ``rate`` per second (burst up to ``burst`` units). Deficit model: an
+    ``n`` larger than the burst capacity is still served in one call by
+    sleeping off the debt — batches bigger than the burst must not
+    deadlock (Channel.java:176-239 has the same whole-batch semantics)."""
 
     def __init__(self, rate: float, burst: float | None = None):
         self.rate = float(rate)
@@ -60,17 +63,18 @@ class TokenBucket:
 
     def acquire(self, n: float = 1.0) -> float:
         """Returns seconds slept."""
-        slept = 0.0
-        while True:
-            now = time.monotonic()
-            self.tokens = min(self.capacity, self.tokens + (now - self.t_last) * self.rate)
-            self.t_last = now
-            if self.tokens >= n:
-                self.tokens -= n
-                return slept
-            need = (n - self.tokens) / self.rate
-            time.sleep(need)
-            slept += need
+        now = time.monotonic()
+        self.tokens = min(self.capacity, self.tokens + (now - self.t_last) * self.rate)
+        self.t_last = now
+        self.tokens -= n
+        if self.tokens >= 0:
+            return 0.0
+        need = -self.tokens / self.rate
+        time.sleep(need)
+        now = time.monotonic()
+        self.tokens = min(self.capacity, self.tokens + (now - self.t_last) * self.rate)
+        self.t_last = now
+        return need
 
 
 def split_range(lo: int, hi: int, n: int) -> list[tuple[int, int]]:

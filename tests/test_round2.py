@@ -1,0 +1,382 @@
+"""Round-2 fixes: manifest fencing, resume plan validation, actor
+evict/reload safety, CDC dead-letter + error budget, speed throttle,
+JSON-spec'able dx_python, hot-bucket caps, bz2 CSV, byte-identical lakes."""
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datax_ray.state.manifest import FencedError, Manifest
+from datax_ray.util import TokenBucket
+
+
+# ------------------------------------------------------- manifest fencing
+class TestFencing:
+    def test_stale_run_commit_is_fenced(self, tmp_path):
+        lake = str(tmp_path / "lake")
+        m_old = Manifest.load_or_create(lake, num_partitions=4, run_id="run-A")
+        # a newer run takes ownership
+        Manifest.load_or_create(lake, num_partitions=4, run_id="run-B")
+        with pytest.raises(FencedError):
+            m_old.commit_epoch(0, 0, 100, [], 0.1)
+        with pytest.raises(FencedError):
+            m_old.commit_compaction(0, "base.parquet", removed=[])
+        # the new owner's manifest is untouched
+        assert Manifest.load(lake).run_id == "run-B"
+        assert Manifest.load(lake).state["epochs"] == []
+
+    def test_commit_merges_fresh_disk_state(self, tmp_path):
+        # two Manifest objects of the SAME run: a commit through one must
+        # not clobber a commit through the other (merge, not overwrite)
+        lake = str(tmp_path / "lake")
+        m1 = Manifest.load_or_create(lake, num_partitions=2, run_id="r")
+        m2 = Manifest(lake, json.loads(json.dumps(m1.state)))
+        m1.commit_epoch(0, 0, 10, [], 0.1)
+        m2.commit_epoch(1, 10, 20, [], 0.1)
+        assert Manifest.load(lake).committed_epochs() == {0, 1}
+
+    def test_fenced_when_manifest_deleted(self, tmp_path):
+        lake = str(tmp_path / "lake")
+        m = Manifest.load_or_create(lake, num_partitions=2, run_id="r")
+        os.remove(m.path)
+        with pytest.raises(FencedError):
+            m.commit_epoch(0, 0, 10, [], 0.1)
+
+
+# -------------------------------------------------- resume plan validation
+class TestResumeValidation:
+    def _manifest_with_epoch(self, tmp_path, lo, hi):
+        lake = str(tmp_path / "lake")
+        m = Manifest.load_or_create(lake, num_partitions=2, run_id="r")
+        m.commit_epoch(0, lo, hi, [], 0.1)
+        return m
+
+    def test_matching_plan_ok(self, tmp_path):
+        from datax_ray.cdc.replay import validate_committed_epochs
+
+        m = self._manifest_with_epoch(tmp_path, 0, 100)
+        assert validate_committed_epochs(m, [(0, 100), (100, 200)]) == {0}
+
+    def test_renumbered_plan_raises(self, tmp_path):
+        from datax_ray.cdc.replay import validate_committed_epochs
+
+        m = self._manifest_with_epoch(tmp_path, 0, 100)
+        with pytest.raises(ValueError, match="resume plan mismatch"):
+            validate_committed_epochs(m, [(0, 50), (50, 100)])
+
+    def test_committed_epoch_beyond_plan_raises(self, tmp_path):
+        from datax_ray.cdc.replay import validate_committed_epochs
+
+        m = self._manifest_with_epoch(tmp_path, 0, 100)
+        m.commit_epoch(1, 100, 200, [], 0.1)
+        with pytest.raises(ValueError, match="resume plan mismatch"):
+            validate_committed_epochs(m, [(0, 100)])
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_replay_files_rejects_changed_epoch_size(self, tmp_path):
+        from datax_ray.cdc.replay import replay_files
+        from datax_ray.sources.generators import (
+            ChangelogSpec,
+            write_changelog_parquet,
+        )
+
+        spec = ChangelogSpec(n_events=4000, n_convs=50, max_turns=8,
+                             n_blocks=2, seed=31)
+        d = str(tmp_path / "cl")
+        write_changelog_parquet(spec, d)
+        lake = str(tmp_path / "lake")
+        replay_files(d, lake_dir=lake, max_lsn_exclusive=2000,
+                     num_partitions=4, epoch_size=2000)
+        with pytest.raises(ValueError, match="resume plan mismatch"):
+            replay_files(d, lake_dir=lake, max_lsn_exclusive=4000,
+                         num_partitions=4, epoch_size=1000)
+
+
+# --------------------------------------------------- actor evict data-loss
+class TestActorEvictReload:
+    def test_evicted_partition_reloads_from_lake(self, tmp_path):
+        """The ADVICE scenario: apply → evict (spill) → apply again with the
+        committed file list → state must include pre-evict rows."""
+        from datax_ray.cdc.actor_merge import _MergeActorImpl
+        from datax_ray.cdc.merge import EVENT_WEIGHT_COL
+
+        lake = str(tmp_path / "lake")
+        os.makedirs(lake)
+        actor = _MergeActorImpl(lake)
+
+        def ev(lsn, turn, text):
+            return pa.table({
+                "lsn": pa.array([lsn], pa.int64()),
+                "op": pa.array(["I"], pa.string()),
+                "conv_id": pa.array(["c0"], pa.string()),
+                "turn_idx": pa.array([turn], pa.int32()),
+                "role": pa.array(["user"], pa.string()),
+                "text": pa.array([text], pa.string()),
+                "tool": pa.array([None], pa.string()),
+                "ts": pa.array([lsn], pa.timestamp("ms")),
+                EVENT_WEIGHT_COL: pa.array([1], pa.int64()),
+            })
+
+        r0 = actor.apply(0, 0, [], ev(1, 0, "first"))
+        committed = [r0["file"]]
+        actor.evict(0, epoch=0)  # spill + drop from memory
+        assert 0 not in actor.state
+        # next epoch arrives with the manifest's committed file list
+        actor.apply(1, 0, committed, ev(2, 1, "second"))
+        state = actor.read_state(0, committed)
+        assert state.num_rows == 2
+        assert sorted(state["text"].to_pylist()) == ["first", "second"]
+
+    def test_evict_then_empty_list_would_have_lost_data(self, tmp_path):
+        """Regression guard documenting the old bug shape: loading with []
+        after evict rebuilds empty — replay_files_stateful must never do
+        that (it now always passes manifest.partition_files)."""
+        from datax_ray.cdc.actor_merge import _MergeActorImpl
+
+        actor = _MergeActorImpl(str(tmp_path))
+        actor._ensure_loaded(3, [])
+        assert actor.state[3] is None  # empty: the dangerous rebuild
+
+
+# --------------------------------------------- CDC dead-letter + budget
+@pytest.mark.usefixtures("ray_session")
+class TestCdcDeadLetter:
+    def _changelog_with_bad_rows(self, tmp_path):
+        from datax_ray.sources.generators import (
+            ChangelogSpec,
+            generate_changelog_block,
+        )
+
+        spec = ChangelogSpec(n_events=2000, n_convs=40, max_turns=8,
+                             n_blocks=1, seed=37)
+        t = generate_changelog_block(spec, 0)
+        # corrupt 10 events: unknown op
+        op = t["op"].to_pylist()
+        for i in range(0, 100, 10):
+            op[i] = "X"
+        t = t.set_column(t.schema.get_field_index("op"), "op",
+                         pa.array(op, pa.string()))
+        d = tmp_path / "cl"
+        d.mkdir()
+        pq.write_table(t, str(d / "block-00000.parquet"))
+        return str(d), t.num_rows
+
+    def test_dead_letter_routed_and_counted(self, tmp_path):
+        from datax_ray.cli import run_job
+
+        d, n = self._changelog_with_bad_rows(tmp_path)
+        dl = str(tmp_path / "dead")
+        spec = {"job": {
+            "content": {
+                "reader": {"name": "changelog", "parameter": {
+                    "path": d, "maxLsnExclusive": 2000}},
+                "writer": {"name": "lake_upsert", "parameter": {
+                    "path": str(tmp_path / "lake"), "numPartitions": 4}},
+            },
+            "setting": {"deadLetterDir": dl,
+                        "errorLimit": {"record": 100}},
+        }}
+        rep = run_job(spec)
+        assert rep["ok"]
+        assert rep["result"]["dead_lettered"] == 10
+        assert rep["counters"]["dirty"] == 10
+        files = [f for f in os.listdir(dl) if f.endswith(".parquet")]
+        assert sum(pq.read_metadata(os.path.join(dl, f)).num_rows
+                   for f in files) == 10
+
+    def test_error_budget_enforced_for_cdc(self, tmp_path):
+        from datax_ray.cli import run_job
+        from datax_ray.transforms import ErrorLimitExceeded
+
+        d, _ = self._changelog_with_bad_rows(tmp_path)
+        spec = {"job": {
+            "content": {
+                "reader": {"name": "changelog", "parameter": {
+                    "path": d, "maxLsnExclusive": 2000}},
+                "writer": {"name": "lake_upsert", "parameter": {
+                    "path": str(tmp_path / "lake"), "numPartitions": 4}},
+            },
+            "setting": {"deadLetterDir": str(tmp_path / "dead"),
+                        "errorLimit": {"record": 0}},
+        }}
+        with pytest.raises(ErrorLimitExceeded):
+            run_job(spec)
+
+
+# ----------------------------------------------------------- flow control
+class TestSpeed:
+    def test_token_bucket_oversized_acquire_terminates(self):
+        tb = TokenBucket(rate=10_000, burst=10)
+        t0 = time.monotonic()
+        tb.acquire(100)  # 10× the burst: must not deadlock
+        slept = tb.acquire(100)
+        assert time.monotonic() - t0 < 2.0
+        assert slept > 0.0
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_job_with_record_speed_is_throttled(self, tmp_path):
+        from datax_ray.cli import run_job
+
+        out = str(tmp_path / "out")
+        base = {"job": {
+            "content": {
+                "reader": {"name": "stream", "parameter": {
+                    "sliceRecordCount": 500, "slices": 2,
+                    "column": [{"type": "long", "value": 1, "name": "x"}]}},
+                "writer": {"name": "csv", "parameter": {
+                    "path": out, "writeMode": "truncate"}},
+            },
+            "setting": {"speed": {"record": 900, "channel": 2}},
+        }}
+        t0 = time.monotonic()
+        rep = run_job(base)
+        wall = time.monotonic() - t0
+        assert rep["ok"] and rep["result"]["rows"] == 1000
+        # 1000 records at 900 rec/s with burst 900 → ≥ ~0.1 s of waiting;
+        # generous bound (CI noise) but strictly > un-throttled
+        assert wall >= 0.1
+
+
+# ------------------------------------------------------ dx_python via JSON
+@pytest.mark.usefixtures("ray_session")
+class TestDxPythonSpec:
+    def test_module_function_string(self, tmp_path):
+        from datax_ray.cli import run_job
+
+        out = str(tmp_path / "out")
+        spec = {"job": {
+            "content": {
+                "reader": {"name": "parquet", "parameter": {
+                    "path": "/root/testdata/sf0.001/documents.parquet",
+                    "columns": ["doc_id", "text"]}},
+                "transformer": [
+                    {"name": "dx_python",
+                     "parameter": {"fn": "tests.test_round2:upper_text"}},
+                ],
+                "writer": {"name": "parquet", "parameter": {
+                    "path": out, "writeMode": "truncate"}},
+            },
+        }}
+        rep = run_job(spec)
+        assert rep["ok"]
+        files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        t = pq.read_table(os.path.join(out, files[0]))
+        texts = [x for x in t["text"].to_pylist() if x]
+        assert texts and all(x == x.upper() for x in texts)
+
+    def test_bad_fn_spec_raises(self):
+        from datax_ray.transforms import build_transform
+
+        with pytest.raises(TypeError):
+            build_transform({"name": "dx_python", "parameter": {"fn": 42}})
+
+
+def upper_text(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return t.set_column(t.schema.get_field_index("text"), "text",
+                        pc.utf8_upper(t["text"]))
+
+
+# -------------------------------------------------------- hot-bucket caps
+class TestBucketCap:
+    def test_pair_indices_linear_and_connected(self):
+        from datax_ray.ops.dedup import _bucket_pair_indices, connected_components
+
+        n, cap = 10_000, 128
+        ia, ib = _bucket_pair_indices(n, cap)
+        # O(n·cap) pairs, not O(n²)
+        assert len(ia) <= n * cap
+        assert (ia < ib).all()
+        # chunk-representative links keep the bucket ONE component
+        comp = connected_components(list(zip(ia.tolist(), ib.tolist())))
+        assert len(set(comp.values())) == 1
+
+    def test_small_bucket_unchanged(self):
+        from datax_ray.ops.dedup import _bucket_pair_indices
+
+        ia, ib = _bucket_pair_indices(10, 128)
+        ja, jb = np.triu_indices(10, k=1)
+        assert (ia == ja).all() and (ib == jb).all()
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_degenerate_corpus_completes_fast(self):
+        """10k near-identical docs → one LSH bucket per band; capped pair
+        generation must stay ~linear and still connect everything."""
+        import ray.data as rd
+
+        from datax_ray.ops.dedup import connected_components, simhash_candidates
+
+        n = 10_000
+        t = pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["the same boilerplate text"] * n),
+        })
+        t0 = time.monotonic()
+        pairs = simhash_candidates(rd.from_arrow(t), max_hamming=3,
+                                   bucket_cap=512).to_pandas()
+        assert time.monotonic() - t0 < 120
+        # bounded output: ≤ bands × n × cap (plus rep links)
+        assert len(pairs) <= 4 * n * 512
+        comp = connected_components(
+            list(zip(pairs["id_a"].tolist(), pairs["id_b"].tolist()))
+        )
+        assert len(set(comp.values())) == 1  # all dups in one cluster
+
+
+# ------------------------------------------------------------ bz2 CSV io
+@pytest.mark.usefixtures("ray_session")
+class TestBz2Csv:
+    def test_roundtrip_bz2(self, tmp_path):
+        import bz2
+
+        from datax_ray.sinks.csvsink import write_csv
+        from datax_ray.sources.csvsource import read_csv
+
+        src = tmp_path / "in.csv.bz2"
+        with bz2.open(str(src), "wt") as f:
+            f.write("1,alpha\n2,beta\n3,\\N\n")
+        ds = read_csv(str(src), columns=[
+            {"index": 0, "type": "long", "name": "id"},
+            {"index": 1, "type": "string", "name": "name"},
+        ])
+        rows = sorted(ds.to_pandas().to_dict("records"), key=lambda r: r["id"])
+        assert [r["id"] for r in rows] == [1, 2, 3]
+        assert rows[2]["name"] is None
+        # write side
+        out = str(tmp_path / "out")
+        report = write_csv(ds, out, write_mode="truncate", compress="bzip2")
+        files = [f for f in os.listdir(out) if f.endswith(".csv.bz2")]
+        assert files and sum(r["rows"] for r in report) == 3
+
+
+# --------------------------------------------- byte-identical lake deltas
+@pytest.mark.usefixtures("ray_session")
+class TestLakePathParity:
+    def test_dataset_path_deltas_have_no_part_column(self, tmp_path):
+        from datax_ray.cdc.replay import replay
+        from datax_ray.sources.generators import (
+            ChangelogSpec,
+            write_changelog_parquet,
+        )
+        from datax_ray.sources.parquet import read_changelog
+        from datax_ray.state.manifest import Manifest
+
+        spec = ChangelogSpec(n_events=4000, n_convs=50, max_turns=8,
+                             n_blocks=2, seed=41)
+        d = str(tmp_path / "cl")
+        write_changelog_parquet(spec, d)
+        lake = str(tmp_path / "lake")
+        replay(
+            lambda lo, hi: read_changelog(d, lsn_range=(lo, hi)),
+            lake_dir=lake, max_lsn_exclusive=spec.n_events, num_partitions=4,
+        )
+        m = Manifest.load(lake)
+        for p in range(4):
+            for f in m.partition_files(p):
+                assert "part" not in pq.read_schema(f).names
