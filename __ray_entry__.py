@@ -38,9 +38,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (same tables, same column
     names, same rounding). Keys absent here (minhash_lsh_pairs,
-    simhash_pairs, embedding_neardup, multimodal_features,
-    cdc_schema_evolution) are genuinely non-SQL-expressible — the driver
-    records rows-only checks for them; pytest covers their semantics."""
+    simhash_pairs, embedding_neardup, multimodal_features) are genuinely
+    non-SQL-expressible — the driver records rows-only checks for them;
+    pytest covers their semantics."""
     from datax_ray.pipelines.queries import ORACLES
 
     return dict(ORACLES)

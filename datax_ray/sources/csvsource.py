@@ -173,10 +173,19 @@ def _peek_first_line(path: str, delim: str) -> tuple[int, list[str]]:
     import bz2
     import gzip
 
-    opener = (gzip.open if path.endswith(".gz")
-              else bz2.open if path.endswith(".bz2") else open)
-    with opener(path, "rt") as f:
-        line = f.readline().rstrip("\r\n")
+    if path.endswith(".zip"):
+        import io
+        import zipfile
+
+        with zipfile.ZipFile(path) as zf:
+            member = next(n for n in zf.namelist() if not n.endswith("/"))
+            f = io.TextIOWrapper(zf.open(member))
+            line = f.readline().rstrip("\r\n")
+    else:
+        opener = (gzip.open if path.endswith(".gz")
+                  else bz2.open if path.endswith(".bz2") else open)
+        with opener(path, "rt") as f:
+            line = f.readline().rstrip("\r\n")
     fields = line.split(delim)
     return len(fields), fields
 
@@ -222,12 +231,44 @@ def read_csv(
         quoted_strings_can_be_null=False,
         column_types={c: pa.string() for c in col_names},
     )
-    ds = rd.read_csv(
-        paths,
-        read_options=read_opts,
-        parse_options=parse_opts,
-        convert_options=conv_opts,
-        override_num_blocks=override_num_blocks,
-    )
+    path_list = paths if isinstance(paths, list) else [paths]
+    if any(str(p).endswith(".zip") for p in path_list):
+        # zip is an ARCHIVE (UnstructuredStorageReaderUtil.java:116-150):
+        # read each archive as binary, expand members and parse each as a
+        # CSV stream inside the task — one map task per archive
+        if not all(str(p).endswith(".zip") for p in path_list):
+            raise ValueError("cannot mix .zip archives with plain CSV paths")
+
+        def parse_zip(t: pa.Table) -> pa.Table:
+            import io
+            import zipfile
+
+            tabs = []
+            for blob in t["bytes"].to_pylist():
+                with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+                    for member in zf.namelist():
+                        if member.endswith("/"):
+                            continue
+                        tabs.append(
+                            pacsv.read_csv(
+                                io.BytesIO(zf.read(member)),
+                                read_options=read_opts,
+                                parse_options=parse_opts,
+                                convert_options=conv_opts,
+                            )
+                        )
+            return pa.concat_tables(tabs)
+
+        ds = rd.read_binary_files(path_list).map_batches(
+            parse_zip, batch_format="pyarrow"
+        )
+    else:
+        ds = rd.read_csv(
+            paths,
+            read_options=read_opts,
+            parse_options=parse_opts,
+            convert_options=conv_opts,
+            override_num_blocks=override_num_blocks,
+        )
     proj = CsvProjection(entries, null_format=null_format, dead_letter_dir=dead_letter_dir)
     return ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)

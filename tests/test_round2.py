@@ -354,6 +354,22 @@ class TestBz2Csv:
         files = [f for f in os.listdir(out) if f.endswith(".csv.bz2")]
         assert files and sum(r["rows"] for r in report) == 3
 
+    def test_zip_archive_read(self, tmp_path):
+        import zipfile
+
+        from datax_ray.sources.csvsource import read_csv
+
+        src = tmp_path / "in.zip"
+        with zipfile.ZipFile(str(src), "w") as zf:
+            zf.writestr("a.csv", "1,alpha\n2,beta\n")
+            zf.writestr("sub/b.csv", "3,gamma\n")
+        ds = read_csv(str(src), columns=[
+            {"index": 0, "type": "long", "name": "id"},
+            {"index": 1, "type": "string", "name": "name"},
+        ])
+        rows = sorted(ds.to_pandas().to_dict("records"), key=lambda r: r["id"])
+        assert [r["name"] for r in rows] == ["alpha", "beta", "gamma"]
+
 
 # --------------------------------------------- byte-identical lake deltas
 @pytest.mark.usefixtures("ray_session")
