@@ -264,11 +264,19 @@ def replay_files(
     verbose: bool = False,
     transform_specs: list | None = None,
     dead_letter_dir: str | None = None,
+    record_rate: float | None = None,
 ) -> ReplayResult:
     """Fast-path replay of a parquet changelog via the raw-Ray hash
     exchange (cdc/exchange.py) — same manifest/exactly-once/resume
     semantics as ``replay``, ~an order of magnitude less per-epoch overhead
-    than the Dataset sort-shuffle (see exchange.py docstring)."""
+    than the Dataset sort-shuffle (see exchange.py docstring).
+
+    ``record_rate`` (events/s) applies the reference's job-level flow
+    control (Channel.java:176-239) as driver-side epoch pacing: after each
+    commit the driver acquires that epoch's event count from a token
+    bucket before admitting the next epoch into the bounded in-flight
+    window — coarse-grained (epoch quanta) but sufficient for throttling
+    against a rate-limited source/sink."""
     import ray
 
     from datax_ray.cdc.exchange import exchange_epoch, file_lsn_ranges
@@ -305,6 +313,12 @@ def replay_files(
     n_skip = len(epochs) - len(todo)
     inflight: deque[tuple[int, int, int, list]] = deque()
     i = 0
+    if record_rate:
+        from datax_ray.util import TokenBucket
+
+        bucket = TokenBucket(record_rate)
+    else:
+        bucket = None
 
     def submit_more():
         nonlocal i
@@ -337,6 +351,8 @@ def replay_files(
                 file=sys.stderr,
             )
         _maybe_compact(manifest, lake_dir, epoch, compact_every)
+        if bucket is not None:
+            bucket.acquire(ev)
         submit_more()
 
     return ReplayResult(

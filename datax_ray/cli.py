@@ -161,6 +161,7 @@ def _dead_letter_rows(dead_letter_dir: str | None, before: set[str]) -> int:
 def _run_lake_upsert(reader_p: dict, writer_p: dict, resume: bool,
                      transform_specs: list | None = None,
                      dead_letter_dir: str | None = None,
+                     record_rate: float | None = None,
                      verbose: bool = True) -> tuple[dict[str, Any], dict[str, int]]:
     """The CDC job: changelog reader + lake_upsert writer = replay engine.
     Transformers run reader-side ahead of the exchange (the reference's
@@ -186,6 +187,7 @@ def _run_lake_upsert(reader_p: dict, writer_p: dict, resume: bool,
         verbose=verbose,
         transform_specs=transform_specs,
         dead_letter_dir=dead_letter_dir,
+        record_rate=record_rate,
     )
     dirty = _dead_letter_rows(dead_letter_dir, dl_before)
     totals = {"input": res.events_applied + dirty, "dirty": dirty}
@@ -223,6 +225,7 @@ def run_job(spec: dict[str, Any], *, dry_run: bool = False,
             reader.get("parameter", {}), writer.get("parameter", {}), resume,
             transform_specs=transformer_specs or None,
             dead_letter_dir=setting.get("deadLetterDir"),
+            record_rate=(setting.get("speed") or {}).get("record"),
         )
     else:
         ds = _build_reader(reader["name"], reader.get("parameter", {}))

@@ -108,6 +108,66 @@ def minhash_batch(texts: list[str | None], num_perm: int, shingle_k: int,
     return out
 
 
+def winnow_batch(texts: list[str | None], k: int = 8, w: int = 4
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): rolling polynomial hashes over char
+    k-grams of normalized text, then the minimum of each w-gram window is
+    selected; the distinct selected hashes are the document's fingerprint
+    set (guarantees: any shared substring of length ≥ k+w-1 yields a
+    shared fingerprint).
+
+    Fully vectorized over the whole batch: one flat byte array with doc
+    offsets, one rolling-hash pass, w shifted-minimum passes (windows are
+    clamped at doc tails), one lexsort for per-doc distinct. Returns
+    (doc_index int64 array, fingerprint uint64 array) — exploded rows.
+    """
+    s = pd.Series(texts, dtype=object).fillna("")
+    s = (s.str.lower()
+          .str.replace(r"\s+", " ", regex=True)
+          .str.strip())
+    enc = s.str.encode("utf-8")
+    lengths = enc.str.len().to_numpy(dtype=np.int64)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    total = int(offsets[-1])
+    gram_counts = np.maximum(lengths - k + 1, 0)
+    g_off = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(gram_counts, out=g_off[1:])
+    n_grams = int(g_off[-1])
+    if n_grams == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    flat = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8).astype(np.uint64)
+    # rolling hash of every k-byte window of the flat array (windows that
+    # cross doc boundaries are never selected below)
+    with np.errstate(over="ignore"):
+        roll = flat[: total - k + 1].copy()
+        for j in range(1, k):
+            roll = roll * _FNV + flat[j : total - k + 1 + j]
+    # per-doc gram hashes: doc d's grams start at flat offset[d]
+    docs_nz = np.flatnonzero(gram_counts > 0)
+    r = _ranges(gram_counts[docs_nz])
+    src = np.repeat(offsets[:-1][docs_nz], gram_counts[docs_nz]) + r
+    h = roll[src]                      # flat per-doc gram hashes
+    doc_idx = np.repeat(docs_nz, gram_counts[docs_nz])
+    # windowed min with tail clamped at each doc's last gram
+    doc_g_end = np.repeat(g_off[1:][docs_nz], gram_counts[docs_nz])
+    pos = np.arange(n_grams, dtype=np.int64)
+    fp = h.copy()
+    inf = np.uint64(np.iinfo(np.uint64).max)
+    for sft in range(1, w):
+        idx = np.minimum(pos + sft, n_grams - 1)
+        cand = np.where(pos + sft < doc_g_end, h[idx], inf)
+        fp = np.minimum(fp, cand)
+    # per-doc distinct (lexsort + adjacent-unique mask)
+    order = np.lexsort((fp, doc_idx))
+    d_s, f_s = doc_idx[order], fp[order]
+    keep = np.empty(n_grams, dtype=bool)
+    keep[0] = True
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])
+    return d_s[keep], f_s[keep]
+
+
 def simhash_batch(texts: list[str | None]) -> np.ndarray:
     """(n_docs,) uint64 SimHash over whitespace tokens — 64 segment-sum
     reductions over the flat token-hash array."""

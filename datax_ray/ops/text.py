@@ -133,6 +133,51 @@ def add_fingerprint(batch: pa.Table, col: str = "text", out: str = "fingerprint"
     return batch.append_column(out, pa.array(digests, pa.string()))
 
 
+def winnow_fingerprints(batch: pa.Table, *, col: str = "text",
+                        id_col: str = "doc_id", k: int = 8, w: int = 4,
+                        mode: str = "fast") -> pa.Table:
+    """Winnowing (rolling-hash) document fingerprints — one row per
+    (doc_id, fingerprint). Window-min selection over char k-gram rolling
+    hashes of the canonical text form; any shared substring of length
+    ≥ k+w-1 between two documents yields a shared fingerprint
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03).
+
+    ``mode='fast'`` (default, the scale path): vectorized uint64
+    polynomial rolling hash (ops/hashing.winnow_batch) → int64 ``fp``.
+    ``mode='md5'``: per-gram md5-prefix hex strings, chosen because the
+    SQL oracle can reproduce them exactly (DuckDB md5 + window min) —
+    per-row Python hashing, oracle-matched queries ONLY.
+    Both modes select by the same windowed-min rule."""
+    ids = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
+    texts_arr = batch[col]
+    if mode == "fast":
+        from datax_ray.ops.hashing import winnow_batch
+
+        d_idx, fps = winnow_batch(texts_arr.to_pylist(), k=k, w=w)
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(d_idx)),
+                "fp": pa.array(fps.astype(np.int64)),
+            }
+        )
+    out_ids, out_fps = [], []
+    for i, text in enumerate(texts_arr.to_pylist()):
+        if not text:
+            continue
+        norm = " ".join(text.lower().split())
+        grams = [norm[j:j + k] for j in range(len(norm) - k + 1)]
+        if not grams:
+            continue
+        hs = [hashlib.md5(g.encode()).hexdigest()[:15] for g in grams]
+        sel = {min(hs[j:j + w]) for j in range(len(hs))}
+        doc = ids[i].as_py()
+        out_ids.extend([doc] * len(sel))
+        out_fps.extend(sorted(sel))
+    return pa.table(
+        {id_col: pa.array(out_ids, ids.type), "fp": pa.array(out_fps, pa.string())}
+    )
+
+
 def _token_hashes(text: str) -> np.ndarray:
     toks = text.split()
     if not toks:

@@ -465,6 +465,20 @@ def q_text_fingerprint(sf_dir: str):
     )
 
 
+def q_text_winnow(sf_dir: str):
+    """Winnowing (rolling-hash) fingerprints; md5 mode ONLY because the
+    oracle reproduces the per-gram hashes in SQL — pipelines use the
+    vectorized 'fast' mode."""
+    from datax_ray.ops.text import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: winnow_fingerprints(t, mode="md5"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 _KNN_Q = 8
 _KNN_K = 5
 
@@ -856,6 +870,20 @@ SELECT doc_id,
       '^ | $', '', 'g')) AS fingerprint
 FROM documents
 """.strip(),
+    "text_winnow": r"""
+WITH n AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                   '^ | $', '', 'g') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, i AS pos, substr(t, i, 8) AS gram
+  FROM n, LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 7, 0))) AS i) s),
+h AS (SELECT doc_id, pos, substr(md5(gram), 1, 15) AS hv FROM g),
+wmin AS (SELECT doc_id, min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM h)
+SELECT DISTINCT doc_id, fp FROM wmin
+""".strip(),
     "knn_bruteforce": f"""
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id < {_KNN_Q}),
@@ -899,6 +927,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_winnow": q_text_winnow,
     "knn_bruteforce": q_knn_bruteforce,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
