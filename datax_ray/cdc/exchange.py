@@ -119,6 +119,8 @@ def _map_split_impl(
             )
         if schema is not None and not t.schema.equals(schema):
             t = align_to_schema(t, schema)
+        if t.schema.metadata:
+            t = t.replace_schema_metadata(None)
         tables.append(t)
     t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
     t = validate_events(t, dead_letter_dir)

@@ -49,9 +49,14 @@ def _rd():
 
 
 def _read(sf_dir: str, table: str, columns=None, filter=None):
-    return _rd().read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns, filter=filter
-    )
+    # explicit metadata-free schema: stray pandas metadata in the testdata
+    # footers defeats Ray's block-schema hashing (worker "Failed to hash
+    # the schemas" warnings) and bloats every block's schema payload
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = pq.read_schema(path).remove_metadata()
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return _rd().read_parquet(path, schema=schema, columns=columns, filter=filter)
 
 
 # --------------------------------------------------------------- CDC core

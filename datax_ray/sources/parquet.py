@@ -25,7 +25,10 @@ def changelog_files(path: str) -> list[str]:
 
 
 def unified_schema_of(files: list[str]) -> pa.Schema:
-    return unify_schemas([pq.read_schema(f) for f in files])
+    # metadata stripped: stray pandas metadata defeats Ray's block-schema
+    # hashing (worker-side "Failed to hash the schemas" warnings) and
+    # bloats every shuffled block's schema payload
+    return unify_schemas([pq.read_schema(f) for f in files]).remove_metadata()
 
 
 def read_changelog(
