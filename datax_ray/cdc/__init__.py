@@ -5,3 +5,8 @@ from datax_ray.cdc.merge import (  # noqa: F401
     partial_lww_combiner,
     stable_hash_partition,
 )
+from datax_ray.cdc.cells import (  # noqa: F401
+    assemble_cells,
+    cell_changelog,
+    explode_cells,
+)

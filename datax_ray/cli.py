@@ -85,6 +85,10 @@ def _build_reader(name: str, p: dict[str, Any]):
 
         return read_orc(p["path"], columns=p.get("columns"),
                         path_regex=p.get("pathRegex"))
+    from datax_ray.plugins import SOURCE_REGISTRY
+
+    if name in SOURCE_REGISTRY:
+        return SOURCE_REGISTRY[name](p)
     raise JobError(f"unknown reader: {name}")
 
 
@@ -140,6 +144,10 @@ def _run_writer(name: str, p: dict[str, Any], ds, resume: bool) -> dict[str, Any
         for row in ds.take(n):
             print(json.dumps(row, default=str))
         return {"rows": n}
+    from datax_ray.plugins import SINK_REGISTRY
+
+    if name in SINK_REGISTRY:
+        return SINK_REGISTRY[name](p, ds, resume)
     raise JobError(f"unknown writer: {name}")
 
 
@@ -203,6 +211,12 @@ def _run_lake_upsert(reader_p: dict, writer_p: dict, resume: bool,
 
 def run_job(spec: dict[str, Any], *, dry_run: bool = False,
             resume: bool = False) -> dict[str, Any]:
+    # preHandler (JobContainer.java:312-345): may rewrite the job config
+    pre = spec["job"].get("setting", {}).get("preHandler")
+    if pre and not dry_run:
+        from datax_ray.plugins import resolve_handler
+
+        spec = resolve_handler(pre)(spec) or spec
     job = spec["job"]
     content = job["content"]
     setting = job.get("setting", {})
@@ -268,6 +282,12 @@ def run_job(spec: dict[str, Any], *, dry_run: bool = False,
         "result": result,
         "counters": totals,
     }
+    # postHandler (JobContainer.java:347-378) runs before the Hook SPI
+    post = setting.get("postHandler")
+    if post:
+        from datax_ray.plugins import resolve_handler
+
+        resolve_handler(post)(spec, report)
     for hook in setting.get("hooks", []):
         mod, _, fn = hook.partition(":")
         getattr(importlib.import_module(mod), fn)(spec, report)

@@ -245,7 +245,10 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
         if g.num_rows < 2:
             return empty
         ids = np.asarray(g[id_col])
-        sigs = np.stack(g["sig"].to_numpy(zero_copy_only=False))
+        sig_col = g["sig"].combine_chunks()
+        # fixed-size-list → zero-copy flat reshape (no per-row np.stack)
+        sigs = (sig_col.flatten().to_numpy(zero_copy_only=False)
+                .reshape(len(sig_col), sig_col.type.list_size))
         order = np.argsort(ids)
         ids, sigs = ids[order], sigs[order]
         ia, ib = _bucket_pair_indices(len(ids), bucket_cap)
@@ -322,7 +325,9 @@ def embedding_neardup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "ve
                  id_col: pa.array([], t.schema.field(id_col).type),
                  vec_col: pa.array([], t.schema.field(vec_col).type)}
             )
-        vecs = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float32)
+        from datax_ray.ops.similarity import _as_matrix
+
+        vecs = _as_matrix(t[vec_col]).astype(np.float32)
         signs = (vecs @ planes) > 0
         code = (signs.astype(np.uint32) << np.arange(n_bits, dtype=np.uint32)).sum(axis=1)
         return pa.table(
@@ -341,7 +346,9 @@ def embedding_neardup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "ve
         if g.num_rows < 2:
             return empty
         ids = np.asarray(g[id_col])
-        vecs = np.stack(g[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        from datax_ray.ops.similarity import _as_matrix
+
+        vecs = _as_matrix(g[vec_col])
         order = np.argsort(ids)
         ids, vecs = ids[order], vecs[order]
         norms = np.linalg.norm(vecs, axis=1)

@@ -25,6 +25,20 @@ _CAND_SCHEMA = pa.schema(
 
 
 def _as_matrix(col) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> column — zero-copy flat
+    reshape for fixed-size or uniform-length lists; np.stack (per-row
+    Python objects) only as the ragged fallback."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        return (col.flatten().to_numpy(zero_copy_only=False)
+                .reshape(len(col), d).astype(np.float64))
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        widths = np.diff(np.asarray(col.offsets))
+        if len(widths) and (widths == widths[0]).all():
+            return (col.flatten().to_numpy(zero_copy_only=False)
+                    .reshape(len(col), int(widths[0])).astype(np.float64))
     return np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
 
 
