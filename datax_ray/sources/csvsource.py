@@ -52,6 +52,7 @@ class ColumnEntry:
     index: int | None = None
     value: str | None = None       # constant column (mutually exclusive w/ index)
     format: str | None = None      # java date format for type=date
+    extraFormats: list | None = None  # fallback formats tried in order
     name: str | None = None        # output column name (ours; DataX is positional)
 
     def __post_init__(self):
@@ -160,8 +161,20 @@ def _cast_typed(raw: pa.Array, ce: ColumnEntry) -> tuple[pa.Array, np.ndarray]:
         vals = np.where(was_null | bad.to_numpy(), None, is_true.to_numpy())
         return pa.array(vals.tolist(), pa.bool_()), bad.to_numpy()
     if t == "date":
-        fmt = java_date_format_to_strptime(ce.format) if ce.format else None
-        v = pd.to_datetime(s, format=fmt, errors="coerce")
+        # ColumnCast.java:87-117 format chain: the primary ``format`` is
+        # tried first, unparsed rows fall through ``extraFormats`` in order
+        # (each retry only on the still-failing rows — stays vectorized)
+        fmts = [java_date_format_to_strptime(f)
+                for f in ([ce.format] if ce.format else []) + (ce.extraFormats or [])]
+        if fmts:
+            v = pd.to_datetime(s, format=fmts[0], errors="coerce")
+            for f in fmts[1:]:
+                miss = v.isna().to_numpy() & ~was_null
+                if not miss.any():
+                    break
+                v[miss] = pd.to_datetime(s[miss], format=f, errors="coerce")
+        else:
+            v = pd.to_datetime(s, errors="coerce")
         bad = v.isna().to_numpy() & ~was_null
         return pa.Array.from_pandas(v).cast(pa.timestamp("ms"), safe=False), bad
     raise ValueError(f"unsupported column type: {t}")

@@ -91,3 +91,40 @@ def test_duplicate_redelivery_idempotent(rows):
     clean = lww_fold_table(t, drop_deletes=True)
     duped = lww_fold_table(pa.concat_tables([t, t]), drop_deletes=True)
     assert folded_to_dict(duped) == folded_to_dict(clean)
+
+
+# ---------------------------------------------------------------- winnowing
+@given(
+    st.text(alphabet="abcdefgh ", min_size=11, max_size=60),
+    st.text(alphabet="qrstuvwx ", min_size=0, max_size=20),
+    st.text(alphabet="qrstuvwx ", min_size=0, max_size=20),
+)
+@settings(max_examples=60, deadline=None)
+def test_winnow_shared_substring_guarantee(shared, pre, post):
+    """Winnowing guarantee (Schleimer et al.): two docs sharing a substring
+    of length >= k+w-1 (after normalization) share >= 1 fingerprint."""
+    from datax_ray.ops.hashing import winnow_batch
+
+    k, w = 8, 4
+    a = (pre + " " + shared + " " + post).strip()
+    b = (post + " " + shared + " " + pre).strip()
+    norm = " ".join(shared.split())
+    d, f = winnow_batch([a, b], k=k, w=w)
+    if len(norm) >= k + w - 1:
+        fa = set(f[d == 0].tolist())
+        fb = set(f[d == 1].tolist())
+        assert fa & fb
+
+
+@given(st.lists(st.one_of(st.none(), st.text(max_size=30)), max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_winnow_deterministic_and_bounded(texts):
+    from datax_ray.ops.hashing import winnow_batch
+
+    d1, f1 = winnow_batch(texts)
+    d2, f2 = winnow_batch(texts)
+    assert (d1 == d2).all() and (f1 == f2).all()
+    for i, t in enumerate(texts):
+        n = len(" ".join((t or "").lower().split()).encode())
+        n_grams = max(n - 8 + 1, 0)
+        assert (d1 == i).sum() <= n_grams

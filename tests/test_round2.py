@@ -430,6 +430,29 @@ class TestBz2Csv:
         files = [f for f in os.listdir(out) if f.endswith(".csv.bz2")]
         assert files and sum(r["rows"] for r in report) == 3
 
+    def test_date_extra_formats_chain(self, tmp_path):
+        """ColumnCast.java:87-117: primary format first, extraFormats
+        fall-through per row; rows failing every format go dirty."""
+        from datax_ray.sources.csvsource import read_csv
+
+        src = tmp_path / "in.csv"
+        src.write_text("1,2024-01-02 03:04:05\n"
+                       "2,2024/01/03\n"
+                       "3,05:06:07\n"
+                       "4,notadate\n")
+        dl = str(tmp_path / "dead")
+        ds = read_csv(str(src), columns=[
+            {"index": 0, "type": "long", "name": "id"},
+            {"index": 1, "type": "date", "name": "at",
+             "format": "yyyy-MM-dd HH:mm:ss",
+             "extraFormats": ["yyyy/MM/dd", "HH:mm:ss"]},
+        ], dead_letter_dir=dl)
+        df = ds.to_pandas().sort_values("id").reset_index(drop=True)
+        assert df["id"].tolist() == [1, 2, 3]  # row 4 dead-lettered
+        assert str(df.loc[0, "at"]) == "2024-01-02 03:04:05"
+        assert str(df.loc[1, "at"]) == "2024-01-03 00:00:00"
+        assert os.listdir(dl)
+
     def test_zip_archive_read(self, tmp_path):
         import zipfile
 
