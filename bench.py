@@ -220,10 +220,10 @@ def run_scaling() -> dict:
         "value": round(raw_eff, 3),
         "unit": f"efficiency(T{hi_n}/({factor:g}*T{lo_n}))",
         "levels": [lo_n, hi_n],
-        "events_per_sec_8": tput8,
-        "events_per_sec_32": tput32,
-        "sec_8": res[lo_n]["value"],
-        "sec_32": res[hi_n]["value"],
+        f"events_per_sec_{lo_n}": tput8,
+        f"events_per_sec_{hi_n}": tput32,
+        f"sec_{lo_n}": res[lo_n]["value"],
+        f"sec_{hi_n}": res[hi_n]["value"],
         "events": res[hi_n]["events"],
         # Single-host calibration: this VM's cores slow down as concurrency
         # rises (shared frequency/memory), so even a PERFECT engine cannot
@@ -232,8 +232,8 @@ def run_scaling() -> dict:
         # ceiling) is the transferable N→4N estimate.
         "hw_ceiling": round(ceiling, 3),
         "engine_efficiency": round(raw_eff / ceiling, 3),
-        "cpu_capacity_8": round(cap8, 1),
-        "cpu_capacity_32": round(cap32, 1),
+        f"cpu_capacity_{lo_n}": round(cap8, 1),
+        f"cpu_capacity_{hi_n}": round(cap32, 1),
     }
 
 

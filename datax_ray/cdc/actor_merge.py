@@ -148,11 +148,7 @@ def replay_files_stateful(
         file_lsn_ranges,
         files_overlapping,
     )
-    from datax_ray.cdc.replay import (
-        ReplayResult,
-        plan_epochs,
-        validate_committed_epochs,
-    )
+    from datax_ray.cdc.replay import ReplayResult, plan_epochs_resuming
     from datax_ray.sources.parquet import changelog_files, unified_schema_of
 
     files = changelog_files(changelog_path)
@@ -164,8 +160,7 @@ def replay_files_stateful(
     )
     pool = pool or MergeActorPool(lake_dir, num_actors)
     map_split, _ = _get_remotes(num_partitions)
-    epochs = plan_epochs(max_lsn_exclusive, epoch_size)
-    committed = validate_committed_epochs(manifest, epochs)
+    epochs, committed = plan_epochs_resuming(manifest, max_lsn_exclusive, epoch_size)
 
     t_start = time.perf_counter()
     run_events, n_run, n_skip = 0, 0, 0

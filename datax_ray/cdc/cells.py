@@ -50,8 +50,12 @@ def explode_cells(t: pa.Table, value_cols=DEFAULT_VALUE_COLS) -> pa.Table:
     )
     if t.num_rows == 0:
         return schema.empty_table()
+    # null-op rows are malformed and emit NOTHING (matching the SQL
+    # oracle's op <> 'D' three-valued logic) — they must not be mistaken
+    # for upserts
+    valid = pc.is_valid(t["op"])
     is_del = pc.fill_null(pc.equal(t["op"], pa.scalar("D")), False)
-    ups = t.filter(pc.invert(is_del))
+    ups = t.filter(pc.and_(valid, pc.invert(is_del)))
     dels = t.filter(is_del)
     parts = []
     for c in value_cols:

@@ -55,10 +55,16 @@ def split_by_partition(t: pa.Table, num_partitions: int) -> list[pa.Table]:
     ]
 
 
-def validate_events(t: pa.Table, dead_letter_dir: str | None) -> pa.Table:
+def validate_events(t: pa.Table, dead_letter_dir: str | None,
+                    tag: str | None = None) -> pa.Table:
     """Route malformed change events (unknown op, null key/lsn) to the
     dead-letter side channel — the CDC equivalent of the reference's
-    dirty-record collection (TaskPluginCollector)."""
+    dirty-record collection (TaskPluginCollector).
+
+    ``tag`` makes the dead-letter filename DETERMINISTIC per work unit
+    (task inputs + epoch range): a crashed epoch's re-run overwrites the
+    identical file instead of stacking a second uuid-named copy, so
+    resume never double-counts dirty rows against the error budget."""
     ok = pc.is_in(t["op"], value_set=pa.array(["I", "U", "D"]))
     for col in ("conv_id", "turn_idx", "lsn", "ts"):
         ok = pc.and_(ok, pc.is_valid(t[col]))
@@ -72,9 +78,11 @@ def validate_events(t: pa.Table, dead_letter_dir: str | None) -> pa.Table:
         bad = t.filter(pa.array(~ok_np)).append_column(
             "_error", pa.array(["invalid_event"] * int((~ok_np).sum()))
         )
-        pq.write_table(
-            bad, os.path.join(dead_letter_dir, f"dl-{uuid.uuid4().hex}.parquet")
-        )
+        name = f"dl-{tag or uuid.uuid4().hex}.parquet"
+        path = os.path.join(dead_letter_dir, name)
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(bad, tmp)
+        os.replace(tmp, path)
     return t.filter(pa.array(ok_np))
 
 
@@ -123,7 +131,15 @@ def _map_split_impl(
             t = t.replace_schema_metadata(None)
         tables.append(t)
     t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
-    t = validate_events(t, dead_letter_dir)
+    if dead_letter_dir:
+        import hashlib
+
+        tag = hashlib.md5(
+            ("|".join(paths) + f"#{lsn_lo}-{lsn_hi}").encode()
+        ).hexdigest()
+    else:
+        tag = None
+    t = validate_events(t, dead_letter_dir, tag=tag)
     if transform_specs:
         # transformers run reader-side before the exchange, exactly like the
         # reference chain ahead of the channel (TaskGroupContainer.java:481-485)

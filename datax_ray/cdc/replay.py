@@ -164,6 +164,41 @@ def validate_committed_epochs(
     return set(committed)
 
 
+def plan_epochs_resuming(
+    manifest: Manifest, max_lsn_exclusive: int, epoch_size: int | None
+) -> tuple[list[tuple[int, int]], set[int]]:
+    """Resume-safe epoch plan: ADOPT the committed epochs' (possibly
+    ragged) lsn ranges verbatim as the plan prefix, then tile the remaining
+    [covered, max_lsn_exclusive) with ``epoch_size``. This keeps a lake
+    resumable even when the previous run's ``max_lsn_exclusive`` was not
+    epoch-aligned or the caller changed ``epoch_size`` — the new size
+    applies only to epochs not yet committed, so exactly-once is
+    preserved without renumbering anything already on disk.
+
+    Committed epochs are required to be dense (0..n-1) and contiguous in
+    lsn — which the strictly-ordered commit protocol guarantees; anything
+    else means a corrupted manifest and raises."""
+    committed = sorted(
+        (int(e["epoch"]), int(e["lsn_lo"]), int(e["lsn_hi"]))
+        for e in manifest.state["epochs"]
+    )
+    plan: list[tuple[int, int]] = []
+    covered = 0
+    for i, (ep, lo, hi) in enumerate(committed):
+        if ep != i or lo != covered:
+            raise ValueError(
+                f"corrupted manifest: committed epochs are not a dense "
+                f"contiguous prefix (epoch {ep} covers [{lo},{hi}) after "
+                f"[0,{covered}))"
+            )
+        plan.append((lo, hi))
+        covered = hi
+    if covered < max_lsn_exclusive:
+        for lo, hi in plan_epochs(max_lsn_exclusive - covered, epoch_size):
+            plan.append((lo + covered, hi + covered))
+    return plan, set(range(len(committed)))
+
+
 def replay(
     source: Callable[[int, int], "object"],
     *,
@@ -190,8 +225,7 @@ def replay(
         source=source_desc,
         run_id=run_id,
     )
-    epochs = plan_epochs(max_lsn_exclusive, epoch_size)
-    committed = validate_committed_epochs(manifest, epochs)
+    epochs, committed = plan_epochs_resuming(manifest, max_lsn_exclusive, epoch_size)
 
     t_start = time.perf_counter()
     run_events = 0
@@ -265,18 +299,20 @@ def replay_files(
     transform_specs: list | None = None,
     dead_letter_dir: str | None = None,
     record_rate: float | None = None,
+    byte_rate: float | None = None,
 ) -> ReplayResult:
     """Fast-path replay of a parquet changelog via the raw-Ray hash
     exchange (cdc/exchange.py) — same manifest/exactly-once/resume
     semantics as ``replay``, ~an order of magnitude less per-epoch overhead
     than the Dataset sort-shuffle (see exchange.py docstring).
 
-    ``record_rate`` (events/s) applies the reference's job-level flow
-    control (Channel.java:176-239) as driver-side epoch pacing: after each
-    commit the driver acquires that epoch's event count from a token
-    bucket before admitting the next epoch into the bounded in-flight
-    window — coarse-grained (epoch quanta) but sufficient for throttling
-    against a rate-limited source/sink."""
+    ``record_rate`` (events/s) / ``byte_rate`` (delta bytes/s) apply the
+    reference's job-level flow control (Channel.java:176-239) as
+    driver-side epoch pacing: after each commit the driver acquires that
+    epoch's event/byte counts from token buckets before admitting the next
+    epoch into the bounded in-flight window — coarse-grained (epoch
+    quanta) but sufficient for throttling against a rate-limited
+    source/sink."""
     import ray
 
     from datax_ray.cdc.exchange import exchange_epoch, file_lsn_ranges
@@ -289,8 +325,7 @@ def replay_files(
         lake_dir, num_partitions=num_partitions,
         source=changelog_path, run_id=run_id,
     )
-    epochs = plan_epochs(max_lsn_exclusive, epoch_size)
-    committed = validate_committed_epochs(manifest, epochs)
+    epochs, committed = plan_epochs_resuming(manifest, max_lsn_exclusive, epoch_size)
 
     t_start = time.perf_counter()
     run_events, n_run = 0, 0
@@ -313,12 +348,10 @@ def replay_files(
     n_skip = len(epochs) - len(todo)
     inflight: deque[tuple[int, int, int, list]] = deque()
     i = 0
-    if record_rate:
-        from datax_ray.util import TokenBucket
+    from datax_ray.util import TokenBucket
 
-        bucket = TokenBucket(record_rate)
-    else:
-        bucket = None
+    bucket = TokenBucket(record_rate) if record_rate else None
+    byte_bucket = TokenBucket(byte_rate) if byte_rate else None
 
     def submit_more():
         nonlocal i
@@ -353,6 +386,8 @@ def replay_files(
         _maybe_compact(manifest, lake_dir, epoch, compact_every)
         if bucket is not None:
             bucket.acquire(ev)
+        if byte_bucket is not None:
+            byte_bucket.acquire(sum(int(r.get("bytes", 0)) for r in metrics_rows))
         submit_more()
 
     return ReplayResult(

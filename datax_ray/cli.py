@@ -34,7 +34,6 @@ incremental path as one job file.
 from __future__ import annotations
 
 import argparse
-import importlib
 import json
 import os
 import sys
@@ -170,6 +169,7 @@ def _run_lake_upsert(reader_p: dict, writer_p: dict, resume: bool,
                      transform_specs: list | None = None,
                      dead_letter_dir: str | None = None,
                      record_rate: float | None = None,
+                     byte_rate: float | None = None,
                      verbose: bool = True) -> tuple[dict[str, Any], dict[str, int]]:
     """The CDC job: changelog reader + lake_upsert writer = replay engine.
     Transformers run reader-side ahead of the exchange (the reference's
@@ -196,6 +196,7 @@ def _run_lake_upsert(reader_p: dict, writer_p: dict, resume: bool,
         transform_specs=transform_specs,
         dead_letter_dir=dead_letter_dir,
         record_rate=record_rate,
+        byte_rate=byte_rate,
     )
     dirty = _dead_letter_rows(dead_letter_dir, dl_before)
     totals = {"input": res.events_applied + dirty, "dirty": dirty}
@@ -211,9 +212,11 @@ def _run_lake_upsert(reader_p: dict, writer_p: dict, resume: bool,
 
 def run_job(spec: dict[str, Any], *, dry_run: bool = False,
             resume: bool = False) -> dict[str, Any]:
-    # preHandler (JobContainer.java:312-345): may rewrite the job config
+    # preHandler (JobContainer.java:312-345): may rewrite the job config.
+    # Runs for --dry-run too — dry-run must validate the spec the real run
+    # would execute, not the pre-rewrite one.
     pre = spec["job"].get("setting", {}).get("preHandler")
-    if pre and not dry_run:
+    if pre:
         from datax_ray.plugins import resolve_handler
 
         spec = resolve_handler(pre)(spec) or spec
@@ -240,6 +243,7 @@ def run_job(spec: dict[str, Any], *, dry_run: bool = False,
             transform_specs=transformer_specs or None,
             dead_letter_dir=setting.get("deadLetterDir"),
             record_rate=(setting.get("speed") or {}).get("record"),
+            byte_rate=(setting.get("speed") or {}).get("byte"),
         )
     else:
         ds = _build_reader(reader["name"], reader.get("parameter", {}))
@@ -288,9 +292,10 @@ def run_job(spec: dict[str, Any], *, dry_run: bool = False,
         from datax_ray.plugins import resolve_handler
 
         resolve_handler(post)(spec, report)
+    from datax_ray.plugins import resolve_handler as _rh
+
     for hook in setting.get("hooks", []):
-        mod, _, fn = hook.partition(":")
-        getattr(importlib.import_module(mod), fn)(spec, report)
+        _rh(hook)(spec, report)
     return report
 
 

@@ -49,10 +49,11 @@ def broadcast_join(ds, small: "pd.DataFrame | pa.Table", *,
 
 def semi_filter(ds, keys, *, on: str):
     """Keep rows whose ``on`` value is in ``keys`` (broadcast key set,
-    converted to an Arrow value_set ONCE — not per batch)."""
+    converted to an Arrow value_set ONCE — not per batch; unsorted so
+    None/mixed-type key sets stay legal)."""
     import ray
 
-    ref = ray.put(pa.array(sorted(set(keys))))
+    ref = ray.put(pa.array(list(set(keys))))
 
     def f(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -65,7 +66,7 @@ def semi_filter(ds, keys, *, on: str):
 def anti_filter(ds, keys, *, on: str):
     import ray
 
-    ref = ray.put(pa.array(sorted(set(keys))))
+    ref = ray.put(pa.array(list(set(keys))))
 
     def f(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

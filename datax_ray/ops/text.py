@@ -160,11 +160,19 @@ def winnow_fingerprints(batch: pa.Table, *, col: str = "text",
                 "fp": pa.array(fps.astype(np.int64)),
             }
         )
+    # RE2 normalization (same chain as add_fingerprint) so the DuckDB
+    # oracle is byte-identical — ASCII \s, unlike Python str.split()'s
+    # Unicode whitespace, which would diverge on e.g. U+00A0
+    arr = texts_arr.combine_chunks() if isinstance(texts_arr, pa.ChunkedArray) else texts_arr
+    norm_col = pc.replace_substring_regex(
+        pc.replace_substring_regex(pc.utf8_lower(arr), r"\s+", " "),
+        r"^ | $",
+        "",
+    )
     out_ids, out_fps = [], []
-    for i, text in enumerate(texts_arr.to_pylist()):
-        if not text:
+    for i, norm in enumerate(norm_col.to_pylist()):
+        if not norm:
             continue
-        norm = " ".join(text.lower().split())
         grams = [norm[j:j + k] for j in range(len(norm) - k + 1)]
         if not grams:
             continue

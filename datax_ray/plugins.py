@@ -46,7 +46,11 @@ def register_sink(name: str, fn: Callable | None = None):
 
 
 def resolve_handler(spec: str) -> Callable:
-    """``"module:function"`` → callable (same convention as hooks and
-    dx_python)."""
-    mod, _, fn = spec.partition(":")
+    """``"module:function"`` → callable — THE single implementation of the
+    convention shared by hooks, pre/post handlers and dx_python."""
+    mod, sep, fn = spec.partition(":")
+    if not sep or not mod or not fn:
+        raise ValueError(
+            f"expected 'module:function', got {spec!r}"
+        )
     return getattr(importlib.import_module(mod), fn)

@@ -191,8 +191,10 @@ def _peek_first_line(path: str, delim: str) -> tuple[int, list[str]]:
         import zipfile
 
         with zipfile.ZipFile(path) as zf:
-            member = next(n for n in zf.namelist() if not n.endswith("/"))
-            f = io.TextIOWrapper(zf.open(member))
+            members = [n for n in zf.namelist() if not n.endswith("/")]
+            if not members:
+                raise ValueError(f"zip archive has no file members: {path}")
+            f = io.TextIOWrapper(zf.open(members[0]))
             line = f.readline().rstrip("\r\n")
     else:
         opener = (gzip.open if path.endswith(".gz")
@@ -270,6 +272,10 @@ def read_csv(
                                 convert_options=conv_opts,
                             )
                         )
+            if not tabs:  # archive of directories only → typed empty
+                return pa.schema(
+                    [(c, pa.string()) for c in col_names]
+                ).empty_table()
             return pa.concat_tables(tabs)
 
         ds = rd.read_binary_files(path_list).map_batches(

@@ -11,7 +11,6 @@ by name with kwargs, e.g.::
 
 from __future__ import annotations
 
-import importlib
 from typing import Any, Callable
 
 from datax_ray.transforms.dx import (
@@ -31,8 +30,9 @@ def _resolve_fn(fn) -> Callable:
     if callable(fn):
         return fn
     if isinstance(fn, str) and ":" in fn:
-        mod, _, name = fn.partition(":")
-        return getattr(importlib.import_module(mod), name)
+        from datax_ray.plugins import resolve_handler
+
+        return resolve_handler(fn)
     raise TypeError(
         f"dx_python fn must be a callable or 'module:function' string, got {fn!r}"
     )

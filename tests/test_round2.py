@@ -77,9 +77,36 @@ class TestResumeValidation:
         with pytest.raises(ValueError, match="resume plan mismatch"):
             validate_committed_epochs(m, [(0, 100)])
 
+    def test_plan_resuming_adopts_ragged_prefix(self, tmp_path):
+        """The committed (possibly max_lsn-truncated) ranges become the
+        plan prefix verbatim; new epoch_size tiles only the remainder —
+        a lake whose last run stopped mid-epoch stays resumable."""
+        from datax_ray.cdc.replay import plan_epochs_resuming
+
+        lake = str(tmp_path / "lake")
+        m = Manifest.load_or_create(lake, num_partitions=2, run_id="r")
+        m.commit_epoch(0, 0, 1000, [], 0.1)
+        m.commit_epoch(1, 1000, 1500, [], 0.1)  # ragged tail
+        plan, committed = plan_epochs_resuming(m, 3000, 1000)
+        assert plan == [(0, 1000), (1000, 1500), (1500, 2500), (2500, 3000)]
+        assert committed == {0, 1}
+
+    def test_plan_resuming_rejects_corrupt_manifest(self, tmp_path):
+        from datax_ray.cdc.replay import plan_epochs_resuming
+
+        lake = str(tmp_path / "lake")
+        m = Manifest.load_or_create(lake, num_partitions=2, run_id="r")
+        m.commit_epoch(0, 0, 1000, [], 0.1)
+        m.commit_epoch(1, 1200, 1500, [], 0.1)  # gap: not contiguous
+        with pytest.raises(ValueError, match="corrupted manifest"):
+            plan_epochs_resuming(m, 3000, 1000)
+
     @pytest.mark.usefixtures("ray_session")
-    def test_replay_files_rejects_changed_epoch_size(self, tmp_path):
+    def test_replay_files_resumes_ragged_lake_with_new_epoch_size(self, tmp_path):
+        import duckdb
+
         from datax_ray.cdc.replay import replay_files
+        from datax_ray.sinks.lake import read_lake_table
         from datax_ray.sources.generators import (
             ChangelogSpec,
             write_changelog_parquet,
@@ -90,11 +117,26 @@ class TestResumeValidation:
         d = str(tmp_path / "cl")
         write_changelog_parquet(spec, d)
         lake = str(tmp_path / "lake")
-        replay_files(d, lake_dir=lake, max_lsn_exclusive=2000,
-                     num_partitions=4, epoch_size=2000)
-        with pytest.raises(ValueError, match="resume plan mismatch"):
-            replay_files(d, lake_dir=lake, max_lsn_exclusive=4000,
-                         num_partitions=4, epoch_size=1000)
+        # first run: max_lsn NOT aligned to epoch_size (ragged tail epoch)
+        replay_files(d, lake_dir=lake, max_lsn_exclusive=1500,
+                     num_partitions=4, epoch_size=1000)
+        # resume with a DIFFERENT epoch_size over the full range
+        res = replay_files(d, lake_dir=lake, max_lsn_exclusive=4000,
+                           num_partitions=4, epoch_size=1000)
+        assert res.epochs_skipped == 2
+        got = read_lake_table(lake).select(
+            ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        con = duckdb.connect()
+        want = con.execute(f"""
+            SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+              SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                             ORDER BY ts DESC, lsn DESC) AS rn
+              FROM read_parquet('{d}/*.parquet'))
+            WHERE rn = 1 AND op <> 'D' ORDER BY conv_id, turn_idx
+        """).fetch_arrow_table()
+        assert got.num_rows == want.num_rows
+        assert got.cast(want.schema).equals(want)
 
 
 # --------------------------------------------------- actor evict data-loss
