@@ -37,9 +37,17 @@ from datax_ray.state.manifest import Manifest
 
 
 class _MergeActorImpl:
+    #: resident delta-chain length that triggers an in-memory fold —
+    #: the LSM memtable-merge amortization: appending is O(delta),
+    #: folding the whole partition is O(state·log state) and must NOT
+    #: happen every epoch
+    FOLD_EVERY = 8
+
     def __init__(self, lake_dir: str):
         self.lake_dir = lake_dir
-        self.state: dict[int, pa.Table] = {}
+        # part → list of folded tables (base fold + recent deltas), or
+        # None for a loaded-but-empty partition
+        self.state: dict[int, list[pa.Table] | None] = {}
 
     def _ensure_loaded(self, part: int, committed_files: list[str]) -> None:
         if part in self.state:
@@ -48,11 +56,21 @@ class _MergeActorImpl:
 
         tabs = [pq.read_table(f) for f in committed_files]
         if tabs:
-            self.state[part] = lww_fold_table(
-                concat_aligned(tabs), drop_deletes=False
-            )
+            self.state[part] = [
+                lww_fold_table(concat_aligned(tabs), drop_deletes=False)
+            ]
         else:
             self.state[part] = None  # empty partition
+
+    def _folded(self, part: int) -> pa.Table | None:
+        """Collapse the resident chain to one folded table (on demand)."""
+        chain = self.state.get(part)
+        if not chain:
+            return None
+        if len(chain) > 1:
+            chain = [lww_fold_table(concat_aligned(chain), drop_deletes=False)]
+            self.state[part] = chain
+        return chain[0]
 
     def apply(self, epoch: int, part: int, committed_files: list[str],
               *slices: pa.Table) -> dict | None:
@@ -66,10 +84,16 @@ class _MergeActorImpl:
         delta = lww_fold_table(incoming, drop_deletes=False).drop_columns(
             [EVENT_WEIGHT_COL]
         )
-        # fold into resident state (memtable update)
-        cur = self.state.get(part)
-        merged = delta if cur is None else concat_aligned([cur, delta])
-        self.state[part] = lww_fold_table(merged, drop_deletes=False)
+        # memtable update: APPEND the folded delta; the chain collapses
+        # only when it grows past FOLD_EVERY (or on read/snapshot) —
+        # folds are associative, so lazy collapse is exact
+        chain = self.state.get(part)
+        if chain is None:
+            self.state[part] = [delta]
+        else:
+            chain.append(delta)
+            if len(chain) > self.FOLD_EVERY:
+                self._folded(part)
         path = delta_path(self.lake_dir, part, epoch)
         size = atomic_write_parquet(delta, path)
         max_lsn = pc.max(delta["lsn"]).as_py()
@@ -86,7 +110,7 @@ class _MergeActorImpl:
 
     def snapshot(self, part: int, epoch: int) -> str | None:
         """Flush resident state to a base file (O(state), no delta re-read)."""
-        cur = self.state.get(part)
+        cur = self._folded(part)
         if cur is None:
             return None
         path = base_path(self.lake_dir, part, epoch)
@@ -96,13 +120,17 @@ class _MergeActorImpl:
     def read_state(self, part: int, committed_files: list[str]) -> pa.Table | None:
         """Point-in-time read of a partition (tombstones dropped)."""
         self._ensure_loaded(part, committed_files)
-        cur = self.state.get(part)
+        cur = self._folded(part)
         if cur is None:
             return None
         return lww_fold_table(cur, drop_deletes=True)
 
     def resident_bytes(self) -> int:
-        return sum(t.nbytes for t in self.state.values() if t is not None)
+        return sum(
+            sum(t.nbytes for t in chain)
+            for chain in self.state.values()
+            if chain is not None
+        )
 
     def evict(self, part: int, epoch: int) -> str | None:
         """Spill: snapshot then drop from memory."""
