@@ -94,6 +94,170 @@ def extract_image_features(ds, *, feature_dim: int = 8, concurrency: int = 4,
     )
 
 
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+        ("sample_rate", pa.int32()),
+        ("n_samples", pa.int64()),
+    ]
+)
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+        ("n_frames", pa.int32()),
+        ("fps", pa.float32()),
+    ]
+)
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage for audio: same shape as the image stage (codec
+    built once per actor; with torchaudio this is where the model loads).
+    The MFCC-ish feature step is the deterministic stub."""
+
+    def __init__(self, feature_dim: int = 8, strict: bool = False):
+        self.strict = strict
+        self.codec = DeterministicFakeCodec(feature_dim) if not strict else None
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "real audio decode requires torchaudio/ffmpeg — not in this container"
+            )
+        payloads = batch["payload"].to_pylist()
+        feats = np.stack(
+            [
+                self.codec.decode_features(p) if p is not None
+                else np.zeros(self.feature_dim, np.float32)
+                for p in payloads
+            ]
+        )
+        sr = batch["sample_rate"].cast(pa.float64())
+        n = batch["n_samples"].cast(pa.float64())
+        import pyarrow.compute as pc
+
+        duration = pc.divide(n, pc.max_element_wise(sr, pa.scalar(1.0)))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "mime": batch["mime"],
+                "duration_s": pc.round(duration, ndigits=6),
+                "features": pa.array(list(feats), pa.list_(pa.float32(), self.feature_dim)),
+            }
+        )
+
+
+class VideoFrameSampler:
+    """Actor-pool EXPLODE stage: each video row → ``k`` evenly-spaced
+    sampled frame rows (frame_idx, ts_ms, frame payload). With ffmpeg the
+    per-frame payload would be the decoded frame; the stub slices the raw
+    bytes content-addressably so outputs are deterministic. Output rows
+    multiply by k — batch sizes stay small for the same heap reasons as
+    the other media stages."""
+
+    def __init__(self, k: int = 4, strict: bool = False):
+        self.k = k
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "real frame decode requires ffmpeg — not in this container"
+            )
+        ids, mimes, fidx, ts, frames = [], [], [], [], []
+        n_frames = batch["n_frames"].to_pylist()
+        fps = batch["fps"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        mid = batch["media_id"].to_pylist()
+        mime = batch["mime"].to_pylist()
+        for i in range(batch.num_rows):
+            nf = max(int(n_frames[i] or 0), 1)
+            k = min(self.k, nf)
+            picks = np.unique(np.round(np.linspace(0, nf - 1, k)).astype(np.int64))
+            blob = payloads[i] or b""
+            step = max(len(blob) // nf, 1)
+            for f in picks:
+                ids.append(mid[i])
+                mimes.append(mime[i])
+                fidx.append(int(f))
+                ts.append(int(f * 1000.0 / (fps[i] or 1.0)))
+                frames.append(blob[int(f) * step : (int(f) + 1) * step])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "mime": pa.array(mimes, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "ts_ms": pa.array(ts, pa.int64()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def extract_audio_features(ds, *, feature_dim: int = 8, concurrency: int = 4,
+                           batch_size: int = 64):
+    return ds.map_batches(
+        AudioFeatureExtractor,
+        fn_constructor_kwargs={"feature_dim": feature_dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        zero_copy_batch=True,
+    )
+
+
+def sample_video_frames(ds, *, k: int = 4, concurrency: int = 4,
+                        batch_size: int = 16):
+    """Frame sampling explodes rows ×k — batches smaller than the other
+    media stages so payload × k × concurrency fits worker heap."""
+    return ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"k": k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        zero_copy_batch=True,
+    )
+
+
+def synthetic_audio_table(n: int, seed: int = 1) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=int(sz), dtype=np.uint8).tobytes()
+                for sz in rng.integers(256, 8192, size=n)]
+    sr = rng.choice([8000, 16000, 44100], size=n).astype(np.int32)
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "mime": pa.array(["audio/fake"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array(sr),
+            "n_samples": pa.array((rng.integers(1, 30, n) * sr).astype(np.int64)),
+        }
+    )
+
+
+def synthetic_video_table(n: int, seed: int = 2) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=int(sz), dtype=np.uint8).tobytes()
+                for sz in rng.integers(1024, 16384, size=n)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "mime": pa.array(["video/fake"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_frames": pa.array(rng.integers(1, 240, n).astype(np.int32)),
+            "fps": pa.array(np.full(n, 24.0, np.float32)),
+        }
+    )
+
+
 def synthetic_media_table(n: int, seed: int = 0) -> pa.Table:
     """Deterministic fake media rows (binary payloads of varying size)."""
     rng = np.random.default_rng(seed)

@@ -527,6 +527,22 @@ def q_multimodal_features(sf_dir: str):
                                   concurrency=2, batch_size=64)
 
 
+def q_multimodal_audio(sf_dir: str):
+    from datax_ray.ops.multimodal import extract_audio_features, synthetic_audio_table
+
+    t = synthetic_audio_table(512, seed=43)
+    return extract_audio_features(_rd().from_arrow(t), feature_dim=8,
+                                  concurrency=2, batch_size=64)
+
+
+def q_multimodal_frames(sf_dir: str):
+    from datax_ray.ops.multimodal import sample_video_frames, synthetic_video_table
+
+    t = synthetic_video_table(256, seed=44)
+    return sample_video_frames(_rd().from_arrow(t), k=4,
+                               concurrency=2, batch_size=32)
+
+
 def q_cdc_schema_evolution(sf_dir: str):
     """Schema evolution through the real merge: events past the midpoint
     carry a new nullable column; result keeps evolved schema with
@@ -938,4 +954,6 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_features": q_multimodal_features,
+    "multimodal_audio": q_multimodal_audio,
+    "multimodal_frames": q_multimodal_frames,
 }

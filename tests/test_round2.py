@@ -537,3 +537,54 @@ class TestLakePathParity:
         for p in range(4):
             for f in m.partition_files(p):
                 assert "part" not in pq.read_schema(f).names
+
+
+# --------------------------------------------------------- multimodal a/v
+@pytest.mark.usefixtures("ray_session")
+class TestMultimodalAV:
+    def test_audio_features_deterministic(self):
+        import ray.data as rd
+
+        from datax_ray.ops.multimodal import (
+            extract_audio_features,
+            synthetic_audio_table,
+        )
+
+        t = synthetic_audio_table(64, seed=5)
+        a = extract_audio_features(rd.from_arrow(t), concurrency=2,
+                                   batch_size=16).to_pandas()
+        b = extract_audio_features(rd.from_arrow(t), concurrency=2,
+                                   batch_size=16).to_pandas()
+        a = a.sort_values("media_id").reset_index(drop=True)
+        b = b.sort_values("media_id").reset_index(drop=True)
+        assert len(a) == 64
+        assert (a["duration_s"] > 0).all()
+        assert all((x == y).all() for x, y in zip(a["features"], b["features"]))
+
+    def test_video_frame_sampling_shape(self):
+        import ray.data as rd
+
+        from datax_ray.ops.multimodal import (
+            sample_video_frames,
+            synthetic_video_table,
+        )
+
+        t = synthetic_video_table(32, seed=6)
+        df = sample_video_frames(rd.from_arrow(t), k=4, concurrency=2,
+                                 batch_size=8).to_pandas()
+        # ≤ k frames per video, ≥ 1, frame_idx within range, ts monotone
+        g = df.groupby("media_id")
+        assert (g.size() <= 4).all() and (g.size() >= 1).all()
+        nf = {r["media_id"]: r["n_frames"] for r in t.to_pylist()}
+        for mid, grp in g:
+            assert (grp["frame_idx"] < nf[mid]).all()
+            assert grp.sort_values("frame_idx")["ts_ms"].is_monotonic_increasing
+        assert (df["frame"].str.len() > 0).any()
+
+    def test_strict_mode_raises(self):
+        from datax_ray.ops.multimodal import AudioFeatureExtractor, VideoFrameSampler
+
+        with pytest.raises(NotImplementedError):
+            AudioFeatureExtractor(strict=True)(None)
+        with pytest.raises(NotImplementedError):
+            VideoFrameSampler(strict=True)(None)
