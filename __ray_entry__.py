@@ -38,7 +38,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (same tables, same column
     names, same rounding). Keys absent here (minhash_lsh_pairs,
-    simhash_pairs, embedding_neardup, multimodal_features) are genuinely
+    simhash_pairs, embedding_neardup, multimodal_features,
+    multimodal_audio, multimodal_frames) are genuinely
     non-SQL-expressible — the driver records rows-only checks for them;
     pytest covers their semantics."""
     from datax_ray.pipelines.queries import ORACLES

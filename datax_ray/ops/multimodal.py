@@ -19,6 +19,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -44,6 +45,22 @@ class DeterministicFakeCodec:
         return (raw % 1_000_003).astype(np.float32) / 1_000_003.0
 
 
+def _decode_features_column(codec: DeterministicFakeCodec, payloads: list,
+                            feature_dim: int) -> pa.Array:
+    """Shared payload→features kernel for the media stages; empty-batch
+    safe (Ray Data can deliver zero-row blocks)."""
+    if not payloads:
+        return pa.array([], pa.list_(pa.float32(), feature_dim))
+    feats = np.stack(
+        [
+            codec.decode_features(p) if p is not None
+            else np.zeros(feature_dim, np.float32)
+            for p in payloads
+        ]
+    )
+    return pa.array(list(feats), pa.list_(pa.float32(), feature_dim))
+
+
 class ImageFeatureExtractor:
     """Actor-pool stage: ``map_batches(ImageFeatureExtractor, concurrency=N,
     batch_size=small, num_cpus=1)``. The (expensive) codec/model handle is
@@ -61,19 +78,15 @@ class ImageFeatureExtractor:
                 "real image decode requires PIL/libvips — not in this container"
             )
         payloads = batch["payload"].to_pylist()
-        feats = np.stack(
-            [
-                self.codec.decode_features(p) if p is not None else np.zeros(self.feature_dim, np.float32)
-                for p in payloads
-            ]
-        )
         sizes = pa.array([len(p) if p is not None else 0 for p in payloads], pa.int64())
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "mime": batch["mime"],
                 "n_bytes": sizes,
-                "features": pa.array(list(feats), pa.list_(pa.float32(), self.feature_dim)),
+                "features": _decode_features_column(
+                    self.codec, payloads, self.feature_dim
+                ),
             }
         )
 
@@ -131,24 +144,23 @@ class AudioFeatureExtractor:
                 "real audio decode requires torchaudio/ffmpeg — not in this container"
             )
         payloads = batch["payload"].to_pylist()
-        feats = np.stack(
-            [
-                self.codec.decode_features(p) if p is not None
-                else np.zeros(self.feature_dim, np.float32)
-                for p in payloads
-            ]
-        )
         sr = batch["sample_rate"].cast(pa.float64())
         n = batch["n_samples"].cast(pa.float64())
-        import pyarrow.compute as pc
-
-        duration = pc.divide(n, pc.max_element_wise(sr, pa.scalar(1.0)))
+        # null sample_rate must yield null duration, not a 1 Hz guess —
+        # only sr <= 0 maps to the 1.0 divisor guard
+        safe_sr = pc.if_else(
+            pc.fill_null(pc.greater(sr, 0.0), False), sr, pa.scalar(1.0)
+        )
+        safe_sr = pc.if_else(pc.is_valid(sr), safe_sr, pa.scalar(None, pa.float64()))
+        duration = pc.divide(n, safe_sr)
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "mime": batch["mime"],
                 "duration_s": pc.round(duration, ndigits=6),
-                "features": pa.array(list(feats), pa.list_(pa.float32(), self.feature_dim)),
+                "features": _decode_features_column(
+                    self.codec, payloads, self.feature_dim
+                ),
             }
         )
 
@@ -176,18 +188,28 @@ class VideoFrameSampler:
         payloads = batch["payload"].to_pylist()
         mid = batch["media_id"].to_pylist()
         mime = batch["mime"].to_pylist()
+        import math
+
         for i in range(batch.num_rows):
-            nf = max(int(n_frames[i] or 0), 1)
+            nf = int(n_frames[i] or 0)
+            if nf <= 0:
+                continue  # frameless/odd-metadata video emits no rows
             k = min(self.k, nf)
             picks = np.unique(np.round(np.linspace(0, nf - 1, k)).astype(np.int64))
             blob = payloads[i] or b""
             step = max(len(blob) // nf, 1)
+            f_i = fps[i]
+            rate = f_i if (f_i and not math.isnan(f_i)) else 1.0
             for f in picks:
                 ids.append(mid[i])
                 mimes.append(mime[i])
                 fidx.append(int(f))
-                ts.append(int(f * 1000.0 / (fps[i] or 1.0)))
-                frames.append(blob[int(f) * step : (int(f) + 1) * step])
+                ts.append(int(f * 1000.0 / rate))
+                # stub slice mapped PROPORTIONALLY into the payload so it
+                # is always non-empty when the payload is (n_frames may
+                # exceed the byte length)
+                lo = int(f) * len(blob) // nf if blob else 0
+                frames.append(blob[lo : lo + step])
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -240,7 +262,7 @@ def synthetic_audio_table(n: int, seed: int = 1) -> pa.Table:
             "sample_rate": pa.array(sr),
             "n_samples": pa.array((rng.integers(1, 30, n) * sr).astype(np.int64)),
         }
-    )
+    ).cast(AUDIO_SCHEMA)  # schema IS the input contract; cast catches drift
 
 
 def synthetic_video_table(n: int, seed: int = 2) -> pa.Table:
@@ -255,7 +277,7 @@ def synthetic_video_table(n: int, seed: int = 2) -> pa.Table:
             "n_frames": pa.array(rng.integers(1, 240, n).astype(np.int32)),
             "fps": pa.array(np.full(n, 24.0, np.float32)),
         }
-    )
+    ).cast(VIDEO_SCHEMA)
 
 
 def synthetic_media_table(n: int, seed: int = 0) -> pa.Table:
@@ -271,4 +293,4 @@ def synthetic_media_table(n: int, seed: int = 0) -> pa.Table:
             "width": pa.array(rng.integers(16, 512, n).astype(np.int32)),
             "height": pa.array(rng.integers(16, 512, n).astype(np.int32)),
         }
-    )
+    ).cast(MEDIA_SCHEMA)

@@ -588,3 +588,42 @@ class TestMultimodalAV:
             AudioFeatureExtractor(strict=True)(None)
         with pytest.raises(NotImplementedError):
             VideoFrameSampler(strict=True)(None)
+
+    def test_media_stage_edge_cases(self):
+        from datax_ray.ops.multimodal import (
+            AUDIO_SCHEMA,
+            AudioFeatureExtractor,
+            ImageFeatureExtractor,
+            MEDIA_SCHEMA,
+            VIDEO_SCHEMA,
+            VideoFrameSampler,
+        )
+
+        # empty batches must not crash (Ray can deliver zero-row blocks)
+        assert ImageFeatureExtractor()(MEDIA_SCHEMA.empty_table()).num_rows == 0
+        assert AudioFeatureExtractor()(AUDIO_SCHEMA.empty_table()).num_rows == 0
+        assert VideoFrameSampler()(VIDEO_SCHEMA.empty_table()).num_rows == 0
+        # null sample_rate → null duration (not a 1 Hz guess)
+        audio = pa.table({
+            "media_id": pa.array([1, 2], pa.int64()),
+            "mime": pa.array(["audio/fake"] * 2),
+            "payload": pa.array([b"xx", b"yy"], pa.binary()),
+            "sample_rate": pa.array([None, 16000], pa.int32()),
+            "n_samples": pa.array([44100, 32000], pa.int64()),
+        })
+        out = AudioFeatureExtractor()(audio)
+        assert out["duration_s"][0].as_py() is None
+        assert out["duration_s"][1].as_py() == 2.0
+        # n_frames=0 emits nothing; NaN fps falls back; oversized n_frames
+        # still yields non-empty frame bytes
+        video = pa.table({
+            "media_id": pa.array([1, 2], pa.int64()),
+            "mime": pa.array(["video/fake"] * 2),
+            "payload": pa.array([b"abcd", b"0123456789"], pa.binary()),
+            "n_frames": pa.array([0, 100], pa.int32()),
+            "fps": pa.array([24.0, float("nan")], pa.float32()),
+        })
+        vout = VideoFrameSampler(k=4)(video)
+        assert set(vout["media_id"].to_pylist()) == {2}
+        assert all(len(f) > 0 for f in vout["frame"].to_pylist())
+        assert all(t >= 0 for t in vout["ts_ms"].to_pylist())
