@@ -134,9 +134,13 @@ def _map_split_impl(
     if dead_letter_dir:
         import hashlib
 
-        tag = hashlib.md5(
-            ("|".join(paths) + f"#{lsn_lo}-{lsn_hi}").encode()
-        ).hexdigest()
+        # lsn range goes in the name in the clear: the driver attributes
+        # dirty rows to the epochs THIS run executed (resume-safe error
+        # budget, see replay.dead_letter_rows_for_ranges) by parsing it
+        tag = (
+            f"{lsn_lo}-{lsn_hi}-"
+            + hashlib.md5("|".join(paths).encode()).hexdigest()
+        )
     else:
         tag = None
     t = validate_events(t, dead_letter_dir, tag=tag)

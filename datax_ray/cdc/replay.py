@@ -41,9 +41,10 @@ manifest, same commits, byte-identical lakes — tested against each other):
 
 from __future__ import annotations
 
+import os
 import sys
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable
 
 import numpy as np
@@ -125,10 +126,45 @@ class ReplayResult:
     epochs_skipped: int
     events_applied: int
     wall_secs: float
+    #: lsn ranges of epochs actually EXECUTED this invocation (skipped
+    #: committed epochs excluded) — the key for attributing dead-letter
+    #: files to this run's error budget on resume
+    executed_ranges: list = field(default_factory=list)
 
     @property
     def events_per_sec(self) -> float:
         return self.events_applied / max(self.wall_secs, 1e-9)
+
+
+def dead_letter_rows_for_ranges(
+    dead_letter_dir: str | None, ranges: list[tuple[int, int]]
+) -> int:
+    """Rows dead-lettered by the epochs covering ``ranges`` — footers only.
+
+    Filenames are ``dl-{lsn_lo}-{lsn_hi}-{hash}.parquet`` (deterministic per
+    work unit, exchange.validate_events), so a resumed run that re-executes
+    a previously-crashed epoch still counts that epoch's dirty rows (the
+    file pre-existed but its range is in this run's executed set), while
+    epochs skipped as already-committed are excluded."""
+    if not dead_letter_dir or not os.path.isdir(dead_letter_dir) or not ranges:
+        return 0
+    import pyarrow.parquet as pq
+
+    want = set(ranges)
+    total = 0
+    for name in os.listdir(dead_letter_dir):
+        if not (name.startswith("dl-") and name.endswith(".parquet")):
+            continue
+        parts = name[3:-len(".parquet")].split("-")
+        try:
+            rng = (int(parts[0]), int(parts[1]))
+        except (IndexError, ValueError):
+            continue  # uuid-named (untagged) file: not range-attributable
+        if rng in want:
+            total += pq.read_metadata(
+                os.path.join(dead_letter_dir, name)
+            ).num_rows
+    return total
 
 
 def plan_epochs(max_lsn_exclusive: int, epoch_size: int | None) -> list[tuple[int, int]]:
@@ -138,30 +174,6 @@ def plan_epochs(max_lsn_exclusive: int, epoch_size: int | None) -> list[tuple[in
         (lo, min(lo + epoch_size, max_lsn_exclusive))
         for lo in range(0, max_lsn_exclusive, epoch_size)
     ]
-
-
-def validate_committed_epochs(
-    manifest: Manifest, epochs: list[tuple[int, int]]
-) -> set[int]:
-    """Match committed epochs against this run's plan by lsn RANGE, not just
-    index. Resuming a partially-committed lake with a different
-    ``epoch_size`` or ``max_lsn_exclusive`` renumbers the plan; index-only
-    matching would then silently skip or double-apply events, breaking
-    exactly-once. Raises on any range mismatch so the caller must resume
-    with the original epoch parameters (or start a fresh lake)."""
-    committed: dict[int, tuple[int, int]] = {
-        int(e["epoch"]): (int(e["lsn_lo"]), int(e["lsn_hi"]))
-        for e in manifest.state["epochs"]
-    }
-    for epoch, rng in committed.items():
-        if epoch >= len(epochs) or epochs[epoch] != rng:
-            planned = epochs[epoch] if epoch < len(epochs) else None
-            raise ValueError(
-                f"resume plan mismatch: committed epoch {epoch} covers "
-                f"lsn={rng} but this run's plan has {planned}; resume with "
-                "the original epoch_size/max_lsn_exclusive or use a new lake"
-            )
-    return set(committed)
 
 
 def plan_epochs_resuming(
@@ -231,6 +243,7 @@ def replay(
     run_events = 0
     n_run = 0
     n_skip = 0
+    executed: list[tuple[int, int]] = []
     for epoch, (lo, hi) in enumerate(epochs):
         if epoch in committed:
             n_skip += 1
@@ -267,6 +280,7 @@ def replay(
         ev = sum(int(r["events"]) for r in metrics_rows)
         run_events += ev
         n_run += 1
+        executed.append((lo, hi))
         if verbose:
             print(
                 f"[replay] epoch {epoch} lsn=[{lo},{hi}) events={ev} "
@@ -282,6 +296,7 @@ def replay(
         epochs_skipped=n_skip,
         events_applied=run_events,
         wall_secs=time.perf_counter() - t_start,
+        executed_ranges=executed,
     )
 
 
@@ -300,6 +315,7 @@ def replay_files(
     dead_letter_dir: str | None = None,
     record_rate: float | None = None,
     byte_rate: float | None = None,
+    error_limit=None,
 ) -> ReplayResult:
     """Fast-path replay of a parquet changelog via the raw-Ray hash
     exchange (cdc/exchange.py) — same manifest/exactly-once/resume
@@ -312,7 +328,13 @@ def replay_files(
     epoch's event/byte counts from token buckets before admitting the next
     epoch into the bounded in-flight window — coarse-grained (epoch
     quanta) but sufficient for throttling against a rate-limited
-    source/sink."""
+    source/sink.
+
+    ``error_limit`` (a ``transforms.ErrorLimit``) is evaluated INSIDE the
+    replay loop after every commit — the reference's ErrorRecordChecker
+    aborts mid-run (ErrorRecordChecker.java:18-82), so an over-budget job
+    must stop before publishing its remaining epochs, not report a breach
+    after the whole lake is visible."""
     import ray
 
     from datax_ray.cdc.exchange import exchange_epoch, file_lsn_ranges
@@ -367,6 +389,7 @@ def replay_files(
             inflight.append((epoch, lo, hi, reduces))
             i += 1
 
+    executed: list[tuple[int, int]] = []
     submit_more()
     while inflight:
         epoch, lo, hi, reduces = inflight.popleft()
@@ -377,6 +400,7 @@ def replay_files(
         ev = sum(int(r["events"]) for r in metrics_rows)
         run_events += ev
         n_run += 1
+        executed.append((lo, hi))
         if verbose:
             print(
                 f"[replay-x] epoch {epoch} lsn=[{lo},{hi}) events={ev} "
@@ -384,6 +408,12 @@ def replay_files(
                 file=sys.stderr,
             )
         _maybe_compact(manifest, lake_dir, epoch, compact_every)
+        if error_limit is not None and dead_letter_dir:
+            # mid-run budget: dirty rows from epochs executed SO FAR this
+            # run; raising here stops the job before remaining epochs
+            # publish (already-committed epochs stay — exactly-once holds)
+            dirty = dead_letter_rows_for_ranges(dead_letter_dir, executed)
+            error_limit.check(dirty, run_events + dirty)
         if bucket is not None:
             bucket.acquire(ev)
         if byte_bucket is not None:
@@ -396,6 +426,7 @@ def replay_files(
         epochs_skipped=n_skip,
         events_applied=run_events,
         wall_secs=time.perf_counter() - t_start,
+        executed_ranges=executed,
     )
 
 

@@ -150,39 +150,23 @@ def _run_writer(name: str, p: dict[str, Any], ds, resume: bool) -> dict[str, Any
     raise JobError(f"unknown writer: {name}")
 
 
-def _dead_letter_rows(dead_letter_dir: str | None, before: set[str]) -> int:
-    """Count rows dead-lettered by THIS run (files not present before),
-    via parquet footers only — no data read."""
-    if not dead_letter_dir or not os.path.isdir(dead_letter_dir):
-        return 0
-    import pyarrow.parquet as pq
-
-    total = 0
-    for name in os.listdir(dead_letter_dir):
-        path = os.path.join(dead_letter_dir, name)
-        if path not in before and name.endswith(".parquet"):
-            total += pq.read_metadata(path).num_rows
-    return total
-
-
 def _run_lake_upsert(reader_p: dict, writer_p: dict, resume: bool,
                      transform_specs: list | None = None,
                      dead_letter_dir: str | None = None,
                      record_rate: float | None = None,
                      byte_rate: float | None = None,
+                     error_limit=None,
                      verbose: bool = True) -> tuple[dict[str, Any], dict[str, int]]:
     """The CDC job: changelog reader + lake_upsert writer = replay engine.
     Transformers run reader-side ahead of the exchange (the reference's
     chain-before-channel contract). Malformed events route to the job's
-    deadLetterDir and count against the error budget, matching the
-    dirty-record contract of the non-CDC path."""
-    from datax_ray.cdc.replay import replay_files
+    deadLetterDir and count against the error budget — evaluated inside
+    the replay loop (mid-run abort, ErrorRecordChecker.java:18-82) AND
+    attributed by epoch lsn range, so a resumed run that re-executes a
+    previously-crashed epoch counts that epoch's (pre-existing, same-name)
+    dead-letter file while skipped committed epochs are excluded."""
+    from datax_ray.cdc.replay import dead_letter_rows_for_ranges, replay_files
 
-    dl_before: set[str] = set()
-    if dead_letter_dir and os.path.isdir(dead_letter_dir):
-        dl_before = {
-            os.path.join(dead_letter_dir, n) for n in os.listdir(dead_letter_dir)
-        }
     res = replay_files(
         reader_p["path"],
         lake_dir=writer_p["path"],
@@ -197,8 +181,9 @@ def _run_lake_upsert(reader_p: dict, writer_p: dict, resume: bool,
         dead_letter_dir=dead_letter_dir,
         record_rate=record_rate,
         byte_rate=byte_rate,
+        error_limit=error_limit,
     )
-    dirty = _dead_letter_rows(dead_letter_dir, dl_before)
+    dirty = dead_letter_rows_for_ranges(dead_letter_dir, res.executed_ranges)
     totals = {"input": res.events_applied + dirty, "dirty": dirty}
     return {
         "epochs_run": res.epochs_run,
@@ -238,12 +223,20 @@ def run_job(spec: dict[str, Any], *, dry_run: bool = False,
 
     t0 = time.perf_counter()
     if reader["name"] == "changelog" and writer["name"] == "lake_upsert":
+        el_spec = setting.get("errorLimit")
+        limit = None
+        if el_spec:
+            from datax_ray.transforms import ErrorLimit
+
+            limit = ErrorLimit(record=el_spec.get("record"),
+                               percentage=el_spec.get("percentage"))
         result, totals = _run_lake_upsert(
             reader.get("parameter", {}), writer.get("parameter", {}), resume,
             transform_specs=transformer_specs or None,
             dead_letter_dir=setting.get("deadLetterDir"),
             record_rate=(setting.get("speed") or {}).get("record"),
             byte_rate=(setting.get("speed") or {}).get("byte"),
+            error_limit=limit,
         )
     else:
         ds = _build_reader(reader["name"], reader.get("parameter", {}))

@@ -122,10 +122,20 @@ def winnow_batch(texts: list[str | None], k: int = 8, w: int = 4
     clamped at doc tails), one lexsort for per-doc distinct. Returns
     (doc_index int64 array, fingerprint uint64 array) — exploded rows.
     """
-    s = pd.Series(texts, dtype=object).fillna("")
-    s = (s.str.lower()
-          .str.replace(r"\s+", " ", regex=True)
-          .str.strip())
+    # normalization MUST match add_fingerprint's Arrow RE2 chain exactly
+    # (ASCII \s semantics) — pandas/Python regex \s is Unicode, so e.g.
+    # U+00A0 would canonicalize differently between 'fast' and 'md5'
+    # winnow modes and the two could disagree on shared substrings
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(pd.Series(texts, dtype=object).fillna(""), pa.string())
+    norm = pc.replace_substring_regex(
+        pc.replace_substring_regex(pc.utf8_lower(arr), r"\s+", " "),
+        r"^ | $",
+        "",
+    )
+    s = pd.Series(norm.to_pylist(), dtype=object)
     enc = s.str.encode("utf-8")
     lengths = enc.str.len().to_numpy(dtype=np.int64)
     offsets = np.zeros(len(texts) + 1, dtype=np.int64)

@@ -398,8 +398,13 @@ def q_events_sessionize(sf_dir: str):
 
 
 def q_topk_orders(sf_dir: str):
+    """Top-10 without a global sort: per-block argpartition top-k, then one
+    tiny (k × blocks rows) reduce — ops/topk.py."""
+    from datax_ray.ops.topk import topk
+
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return topk(ds, ["o_totalprice", "o_orderkey"],
+                descending=[True, False], k=10)
 
 
 def q_distinct_counts(sf_dir: str):

@@ -24,13 +24,36 @@ metrics, exactly what the north rule asks to carry.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import time
 import uuid
+from contextlib import contextmanager
 from typing import Any
 
 MANIFEST_NAME = "_MANIFEST.json"
+LOCK_NAME = ".manifest.lock"
+
+
+@contextmanager
+def _lake_lock(lake_dir: str):
+    """OS-level advisory lock serializing manifest read-modify-write.
+
+    Fencing is check-then-write: without a lock, a new run's takeover in
+    ``load_or_create`` could land between an old run's ``_reload_and_fence``
+    and its ``os.replace``, and the stale run would silently clobber the new
+    owner. ``flock`` held across the whole critical section makes the
+    'newer run wins' contract actually hold for same-host writers (the only
+    kind a POSIX lake dir can have; an object-store lake would use a CAS
+    pointer instead)."""
+    fd = os.open(os.path.join(lake_dir, LOCK_NAME), os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 class FencedError(RuntimeError):
@@ -66,32 +89,33 @@ class Manifest:
     ) -> "Manifest":
         os.makedirs(lake_dir, exist_ok=True)
         path = os.path.join(lake_dir, MANIFEST_NAME)
-        if os.path.exists(path):
-            with open(path) as f:
-                state = json.load(f)
-            if state["num_partitions"] != num_partitions:
-                raise ValueError(
-                    f"lake at {lake_dir} has num_partitions="
-                    f"{state['num_partitions']}, requested {num_partitions}"
-                )
-            # new run takes ownership (fencing: concurrent old-run commits
-            # would fail the run_id check in commit_epoch)
-            state["run_id"] = run_id or uuid.uuid4().hex
+        with _lake_lock(lake_dir):
+            if os.path.exists(path):
+                with open(path) as f:
+                    state = json.load(f)
+                if state["num_partitions"] != num_partitions:
+                    raise ValueError(
+                        f"lake at {lake_dir} has num_partitions="
+                        f"{state['num_partitions']}, requested {num_partitions}"
+                    )
+                # new run takes ownership (fencing: concurrent old-run
+                # commits fail the run_id check in commit_epoch)
+                state["run_id"] = run_id or uuid.uuid4().hex
+                m = cls(lake_dir, state)
+                m._write()
+                return m
+            state = {
+                "version": 1,
+                "run_id": run_id or uuid.uuid4().hex,
+                "num_partitions": num_partitions,
+                "source": source,
+                "last_lsn": -1,
+                "epochs": [],   # [{epoch, lsn_lo, lsn_hi, wall_secs, events, rows}]
+                "partitions": {},  # {part: {last_lsn, base, deltas[], metrics{}}}
+            }
             m = cls(lake_dir, state)
             m._write()
             return m
-        state = {
-            "version": 1,
-            "run_id": run_id or uuid.uuid4().hex,
-            "num_partitions": num_partitions,
-            "source": source,
-            "last_lsn": -1,
-            "epochs": [],       # [{epoch, lsn_lo, lsn_hi, wall_secs, events, rows}]
-            "partitions": {},   # {part: {last_lsn, base, deltas[], metrics{}}}
-        }
-        m = cls(lake_dir, state)
-        m._write()
-        return m
 
     def _write(self) -> None:
         tmp = self.path + f".tmp.{os.getpid()}"
@@ -172,7 +196,19 @@ class Manifest:
         """Publish one epoch atomically. ``part_results`` rows come from the
         merge tasks: {part, file, rows, events, bytes, secs, max_lsn, max_ts_ms}.
         Idempotent: committing an already-committed epoch is a no-op.
-        Fenced: raises FencedError if another run has taken ownership."""
+        Fenced: raises FencedError if another run has taken ownership;
+        the flock spans reload→write so a takeover can't interleave."""
+        with _lake_lock(self.lake_dir):
+            self._commit_epoch_locked(epoch, lsn_lo, lsn_hi, part_results, wall_secs)
+
+    def _commit_epoch_locked(
+        self,
+        epoch: int,
+        lsn_lo: int,
+        lsn_hi: int,
+        part_results: list[dict[str, Any]],
+        wall_secs: float,
+    ) -> None:
         self._reload_and_fence()
         if epoch in self.committed_epochs():
             return
@@ -209,11 +245,12 @@ class Manifest:
         self._write()
 
     def commit_compaction(self, part: int, base_file: str, removed: list[str]) -> None:
-        self._reload_and_fence()
-        p = self.partition(part)
-        p["base"] = base_file
-        p["deltas"] = [d for d in p["deltas"] if d not in set(removed)]
-        self._write()
+        with _lake_lock(self.lake_dir):
+            self._reload_and_fence()
+            p = self.partition(part)
+            p["base"] = base_file
+            p["deltas"] = [d for d in p["deltas"] if d not in set(removed)]
+            self._write()
 
     def metrics_by_partition(self) -> dict[str, dict[str, Any]]:
         return {k: v.get("metrics", {}) for k, v in self.state["partitions"].items()}

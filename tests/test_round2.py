@@ -56,26 +56,31 @@ class TestResumeValidation:
         m.commit_epoch(0, lo, hi, [], 0.1)
         return m
 
-    def test_matching_plan_ok(self, tmp_path):
-        from datax_ray.cdc.replay import validate_committed_epochs
+    def test_plan_resuming_adopts_committed_prefix(self, tmp_path):
+        from datax_ray.cdc.replay import plan_epochs_resuming
 
         m = self._manifest_with_epoch(tmp_path, 0, 100)
-        assert validate_committed_epochs(m, [(0, 100), (100, 200)]) == {0}
+        plan, committed = plan_epochs_resuming(m, 200, 100)
+        assert plan == [(0, 100), (100, 200)]
+        assert committed == {0}
 
-    def test_renumbered_plan_raises(self, tmp_path):
-        from datax_ray.cdc.replay import validate_committed_epochs
-
-        m = self._manifest_with_epoch(tmp_path, 0, 100)
-        with pytest.raises(ValueError, match="resume plan mismatch"):
-            validate_committed_epochs(m, [(0, 50), (50, 100)])
-
-    def test_committed_epoch_beyond_plan_raises(self, tmp_path):
-        from datax_ray.cdc.replay import validate_committed_epochs
+    def test_plan_resuming_retiles_remainder_with_new_size(self, tmp_path):
+        """Changing epoch_size on resume only affects UNcommitted lsns —
+        the committed range is adopted verbatim, never renumbered."""
+        from datax_ray.cdc.replay import plan_epochs_resuming
 
         m = self._manifest_with_epoch(tmp_path, 0, 100)
-        m.commit_epoch(1, 100, 200, [], 0.1)
-        with pytest.raises(ValueError, match="resume plan mismatch"):
-            validate_committed_epochs(m, [(0, 100)])
+        plan, committed = plan_epochs_resuming(m, 200, 50)
+        assert plan == [(0, 100), (100, 150), (150, 200)]
+        assert committed == {0}
+
+    def test_plan_resuming_rejects_noncontiguous_commits(self, tmp_path):
+        from datax_ray.cdc.replay import plan_epochs_resuming
+
+        m = self._manifest_with_epoch(tmp_path, 0, 100)
+        m.commit_epoch(1, 150, 200, [], 0.1)  # gap 100..150
+        with pytest.raises(ValueError, match="corrupted manifest"):
+            plan_epochs_resuming(m, 300, 100)
 
     def test_plan_resuming_adopts_ragged_prefix(self, tmp_path):
         """The committed (possibly max_lsn-truncated) ranges become the

@@ -1,0 +1,195 @@
+"""Round-3 additions: resume-safe dead-letter accounting, mid-run error
+budget abort, global top-k without a sort shuffle."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+# ------------------------------------------- dead-letter range accounting
+class TestDeadLetterAccounting:
+    def _write_dl(self, d, name, rows):
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({"x": list(range(rows))}),
+                       os.path.join(d, name))
+
+    def test_rows_for_ranges(self, tmp_path):
+        from datax_ray.cdc.replay import dead_letter_rows_for_ranges
+
+        d = str(tmp_path / "dl")
+        self._write_dl(d, "dl-0-1000-abc.parquet", 5)
+        self._write_dl(d, "dl-1000-2000-def.parquet", 3)
+        self._write_dl(d, "dl-ffffffff.parquet", 7)  # untagged: ignored
+        assert dead_letter_rows_for_ranges(d, [(0, 1000)]) == 5
+        assert dead_letter_rows_for_ranges(d, [(0, 1000), (1000, 2000)]) == 8
+        assert dead_letter_rows_for_ranges(d, [(2000, 3000)]) == 0
+        assert dead_letter_rows_for_ranges(None, [(0, 1000)]) == 0
+        assert dead_letter_rows_for_ranges(d, []) == 0
+
+
+def _changelog_with_bad_rows(tmp_path, n_events=2000, n_bad=10):
+    """Changelog parquet with ``n_bad`` unknown-op events in lsn [0, 100)."""
+    from datax_ray.sources.generators import ChangelogSpec, generate_changelog_block
+
+    spec = ChangelogSpec(n_events=n_events, n_convs=40, max_turns=8,
+                         n_blocks=1, seed=37)
+    t = generate_changelog_block(spec, 0)
+    op = t["op"].to_pylist()
+    for i in range(0, n_bad * 10, 10):
+        op[i] = "X"
+    t = t.set_column(t.schema.get_field_index("op"), "op",
+                     pa.array(op, pa.string()))
+    d = tmp_path / "cl"
+    d.mkdir()
+    pq.write_table(t, str(d / "block-00000.parquet"))
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResumeDeadLetterBudget:
+    def test_resume_with_all_epochs_committed_counts_zero_dirty(self, tmp_path):
+        """A resumed run that SKIPS every epoch executed nothing — the
+        pre-existing dead-letter files belong to prior runs' budgets."""
+        from datax_ray.cli import run_job
+
+        d = _changelog_with_bad_rows(tmp_path)
+        dl = str(tmp_path / "dead")
+        spec = {"job": {
+            "content": {
+                "reader": {"name": "changelog", "parameter": {
+                    "path": d, "maxLsnExclusive": 2000}},
+                "writer": {"name": "lake_upsert", "parameter": {
+                    "path": str(tmp_path / "lake"), "numPartitions": 4}},
+            },
+            "setting": {"deadLetterDir": dl, "errorLimit": {"record": 100}},
+        }}
+        rep1 = run_job(spec)
+        assert rep1["result"]["dead_lettered"] == 10
+        rep2 = run_job(spec, resume=True)
+        assert rep2["result"]["epochs_skipped"] >= 1
+        assert rep2["result"]["dead_lettered"] == 0
+        assert rep2["counters"]["dirty"] == 0
+
+    def test_reexecuted_crashed_epoch_counts_its_dirty_rows(self, tmp_path):
+        """Crash AFTER the dead-letter file is written but BEFORE the epoch
+        commits: the re-run overwrites the same deterministic file name and
+        must still count those rows against ITS budget (the round-2 logic
+        keyed on 'files absent before' silently excluded them)."""
+        from datax_ray.cdc.replay import replay_files
+        from datax_ray.state.manifest import Manifest
+
+        d = _changelog_with_bad_rows(tmp_path)
+        dl = str(tmp_path / "dead")
+        lake = str(tmp_path / "lake")
+
+        # crash the first run at the first commit
+        orig = Manifest.commit_epoch
+        calls = {"n": 0}
+
+        def crashing(self, *a, **k):
+            calls["n"] += 1
+            raise RuntimeError("injected crash before commit")
+
+        Manifest.commit_epoch = crashing
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                replay_files(d, lake_dir=lake, max_lsn_exclusive=2000,
+                             num_partitions=4, epoch_size=1000,
+                             compact_every=0, dead_letter_dir=dl)
+        finally:
+            Manifest.commit_epoch = orig
+        assert calls["n"] == 1
+        dl_files = [f for f in os.listdir(dl) if f.endswith(".parquet")]
+        assert dl_files, "dead-letter file must exist from the crashed epoch"
+
+        res = replay_files(d, lake_dir=lake, max_lsn_exclusive=2000,
+                           num_partitions=4, epoch_size=1000,
+                           compact_every=0, dead_letter_dir=dl)
+        assert res.epochs_run == 2 and res.epochs_skipped == 0
+        from datax_ray.cdc.replay import dead_letter_rows_for_ranges
+
+        assert dead_letter_rows_for_ranges(dl, res.executed_ranges) == 10
+
+    def test_error_budget_aborts_mid_run(self, tmp_path):
+        """Over-budget stops BEFORE publishing remaining epochs: with the
+        bad rows all in epoch 0 and record=0, the manifest must end with
+        only a prefix of epochs committed, not the full plan."""
+        from datax_ray.cdc.replay import replay_files
+        from datax_ray.state.manifest import Manifest
+        from datax_ray.transforms import ErrorLimit, ErrorLimitExceeded
+
+        d = _changelog_with_bad_rows(tmp_path)
+        dl = str(tmp_path / "dead")
+        lake = str(tmp_path / "lake")
+        with pytest.raises(ErrorLimitExceeded):
+            replay_files(d, lake_dir=lake, max_lsn_exclusive=2000,
+                         num_partitions=4, epoch_size=200, compact_every=0,
+                         dead_letter_dir=dl, error_limit=ErrorLimit(record=0))
+        committed = Manifest.load(lake).committed_epochs()
+        assert committed, "the offending epoch itself was already committed"
+        assert len(committed) < 10, "remaining epochs must NOT have published"
+
+
+# ---------------------------------------------------------------- top-k
+@pytest.mark.usefixtures("ray_session")
+class TestTopK:
+    def _ds(self, n=5000, seed=3):
+        import ray.data as rd
+
+        rng = np.random.default_rng(seed)
+        t = pa.table({
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(rng.normal(size=n)),
+        })
+        return rd.from_arrow(t).repartition(8), t
+
+    def test_matches_full_sort(self):
+        from datax_ray.ops.topk import topk
+
+        ds, t = self._ds()
+        got = topk(ds, ["v", "k"], descending=[True, False], k=10).to_pandas()
+        exp = (t.to_pandas().sort_values(["v", "k"], ascending=[False, True])
+               .head(10).reset_index(drop=True))
+        assert got.reset_index(drop=True).equals(exp)
+
+    def test_ascending_and_ties(self):
+        import ray.data as rd
+
+        from datax_ray.ops.topk import topk
+
+        t = pa.table({
+            "v": pa.array([1.0, 1.0, 1.0, 2.0, 0.5] * 20),
+            "k": pa.array(np.arange(100, dtype=np.int64)),
+        })
+        got = topk(rd.from_arrow(t).repartition(4), ["v", "k"],
+                   descending=[False, False], k=7).to_pandas()
+        exp = (t.to_pandas().sort_values(["v", "k"], ascending=[True, True])
+               .head(7).reset_index(drop=True))
+        assert got.reset_index(drop=True).equals(exp)
+
+    def test_k_larger_than_input(self):
+        import ray.data as rd
+
+        from datax_ray.ops.topk import topk
+
+        t = pa.table({"v": pa.array([3.0, 1.0]), "k": pa.array([1, 2])})
+        got = topk(rd.from_arrow(t), ["v"], descending=True, k=10).to_pandas()
+        assert list(got["v"]) == [3.0, 1.0]
+
+    def test_string_primary_falls_back(self):
+        import ray.data as rd
+
+        from datax_ray.ops.topk import topk
+
+        t = pa.table({"s": pa.array(list("zebrafoxcat")),
+                      "k": pa.array(np.arange(11, dtype=np.int64))})
+        got = topk(rd.from_arrow(t).repartition(3), ["s", "k"],
+                   descending=[True, False], k=4).to_pandas()
+        exp = (t.to_pandas().sort_values(["s", "k"], ascending=[False, True])
+               .head(4).reset_index(drop=True))
+        assert got.reset_index(drop=True).equals(exp)
