@@ -37,11 +37,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (same tables, same column
-    names, same rounding). Keys absent here (minhash_lsh_pairs,
-    simhash_pairs, embedding_neardup, multimodal_features,
-    multimodal_audio, multimodal_frames) are genuinely
-    non-SQL-expressible — the driver records rows-only checks for them;
-    pytest covers their semantics."""
+    names, same rounding). The multimodal oracles read the deterministic
+    media fixture parquet (written here so the oracle side can run before
+    the query side). Keys absent (minhash_lsh_pairs, simhash_pairs,
+    embedding_neardup) are genuinely non-SQL-expressible LSH pipelines —
+    the driver records rows-only checks for them; pytest covers their
+    semantics."""
+    from datax_ray.ops.multimodal import ensure_media_fixture
     from datax_ray.pipelines.queries import ORACLES
 
+    ensure_media_fixture()
     return dict(ORACLES)

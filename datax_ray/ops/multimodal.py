@@ -16,6 +16,7 @@ object dtype through pandas), and the output schema contract.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -101,7 +102,9 @@ def extract_image_features(ds, *, feature_dim: int = 8, concurrency: int = 4,
         fn_constructor_kwargs={"feature_dim": feature_dim},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        # (1, N) autoscaling pool: scales to N actors under load but does
+        # not warn (or hold idle actors) when the input has fewer blocks
+        concurrency=(1, concurrency),
         num_cpus=1,
         zero_copy_batch=True,
     )
@@ -152,12 +155,17 @@ class AudioFeatureExtractor:
             pc.fill_null(pc.greater(sr, 0.0), False), sr, pa.scalar(1.0)
         )
         safe_sr = pc.if_else(pc.is_valid(sr), safe_sr, pa.scalar(None, pa.float64()))
-        duration = pc.divide(n, safe_sr)
+        duration = pc.round(
+            pc.divide(n, safe_sr),
+            ndigits=6,
+            # SQL round() = half away from zero; Arrow defaults to banker's
+            round_mode="half_towards_infinity",
+        )
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "mime": batch["mime"],
-                "duration_s": pc.round(duration, ndigits=6),
+                "duration_s": duration,
                 "features": _decode_features_column(
                     self.codec, payloads, self.feature_dim
                 ),
@@ -165,13 +173,30 @@ class AudioFeatureExtractor:
         )
 
 
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized arange-per-segment)."""
+    if len(counts) == 0 or counts.sum() == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    idx = np.arange(int(ends[-1]), dtype=np.int64)
+    return idx - np.repeat(ends - counts, counts)
+
+
 class VideoFrameSampler:
-    """Actor-pool EXPLODE stage: each video row → ``k`` evenly-spaced
-    sampled frame rows (frame_idx, ts_ms, frame payload). With ffmpeg the
-    per-frame payload would be the decoded frame; the stub slices the raw
-    bytes content-addressably so outputs are deterministic. Output rows
-    multiply by k — batch sizes stay small for the same heap reasons as
-    the other media stages."""
+    """Actor-pool EXPLODE stage: each video row → ``min(k, n_frames)``
+    evenly-spaced sampled frame rows (frame_idx, ts_ms, frame payload).
+    With ffmpeg the per-frame payload would be the decoded frame; the stub
+    slices the raw bytes content-addressably so outputs are deterministic.
+    Output rows multiply by k — batch sizes stay small for the same heap
+    reasons as the other media stages.
+
+    Fully vectorized (np.repeat/arange index math + one gather over the
+    Arrow value buffer — no per-row Python loop). The pick rule is
+    integer-exact and SQL-expressible (the oracle reproduces it in DuckDB):
+        frame_idx(i) = i * (n_frames - 1) // (k' - 1),  k' = min(k, n_frames)
+        ts_ms       = floor(frame_idx * 1000 / fps)     (fps ≤ 0/NaN → 1.0)
+    Since (n_frames-1)/(k'-1) ≥ 1 the k' picks are strictly increasing —
+    no dedup step needed."""
 
     def __init__(self, k: int = 4, strict: bool = False):
         self.k = k
@@ -182,41 +207,69 @@ class VideoFrameSampler:
             raise NotImplementedError(
                 "real frame decode requires ffmpeg — not in this container"
             )
-        ids, mimes, fidx, ts, frames = [], [], [], [], []
-        n_frames = batch["n_frames"].to_pylist()
-        fps = batch["fps"].to_pylist()
-        payloads = batch["payload"].to_pylist()
-        mid = batch["media_id"].to_pylist()
-        mime = batch["mime"].to_pylist()
-        import math
+        empty = pa.table(
+            {
+                "media_id": pa.array([], pa.int64()),
+                "mime": pa.array([], pa.string()),
+                "frame_idx": pa.array([], pa.int32()),
+                "ts_ms": pa.array([], pa.int64()),
+                "frame": pa.array([], pa.binary()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        nf = np.asarray(
+            pc.fill_null(batch["n_frames"].cast(pa.int64()), 0), dtype=np.int64
+        )
+        fps = np.asarray(
+            pc.fill_null(batch["fps"].cast(pa.float64()), 0.0), dtype=np.float64
+        )
+        rows = np.flatnonzero(nf > 0)  # frameless/odd-metadata → no rows
+        if len(rows) == 0:
+            return empty
+        k = np.minimum(self.k, nf[rows])
+        row_r = np.repeat(rows, k)               # source row per output frame
+        i_r = _ranges(k)                         # 0..k'-1 within each video
+        nf_r = nf[row_r]
+        k_r = np.repeat(k, k)
+        frame_idx = np.where(
+            k_r == 1, 0, i_r * (nf_r - 1) // np.maximum(k_r - 1, 1)
+        )
+        rate = fps[row_r]
+        rate = np.where(np.isfinite(rate) & (rate > 0), rate, 1.0)
+        ts_ms = (frame_idx * 1000.0 / rate).astype(np.int64)  # floor (≥ 0)
 
-        for i in range(batch.num_rows):
-            nf = int(n_frames[i] or 0)
-            if nf <= 0:
-                continue  # frameless/odd-metadata video emits no rows
-            k = min(self.k, nf)
-            picks = np.unique(np.round(np.linspace(0, nf - 1, k)).astype(np.int64))
-            blob = payloads[i] or b""
-            step = max(len(blob) // nf, 1)
-            f_i = fps[i]
-            rate = f_i if (f_i and not math.isnan(f_i)) else 1.0
-            for f in picks:
-                ids.append(mid[i])
-                mimes.append(mime[i])
-                fidx.append(int(f))
-                ts.append(int(f * 1000.0 / rate))
-                # stub slice mapped PROPORTIONALLY into the payload so it
-                # is always non-empty when the payload is (n_frames may
-                # exceed the byte length)
-                lo = int(f) * len(blob) // nf if blob else 0
-                frames.append(blob[lo : lo + step])
+        # stub frame payloads: slice [lo, lo+step) mapped PROPORTIONALLY
+        # into the blob (always non-empty when the payload is; n_frames may
+        # exceed the byte length) — one flat gather over the value buffer
+        pay = batch["payload"].combine_chunks()
+        blen = np.asarray(
+            pc.fill_null(pc.binary_length(pay).cast(pa.int64()), 0),
+            dtype=np.int64,
+        )
+        val_off = np.frombuffer(pay.buffers()[1], dtype=np.int32)[
+            pay.offset : pay.offset + len(pay) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(pay.buffers()[2] or b"", dtype=np.uint8)
+        blob_r = blen[row_r]
+        step = np.maximum(blob_r // np.maximum(nf_r, 1), 1)
+        lo = np.where(blob_r > 0, frame_idx * blob_r // nf_r, 0)
+        ln = np.clip(blob_r - lo, 0, step)
+        starts = val_off[row_r] + lo
+        gathered = data[np.repeat(starts, ln) + _ranges(ln)]
+        out_off = np.zeros(len(ln) + 1, dtype=np.int32)
+        np.cumsum(ln, out=out_off[1:])
+        frame_arr = pa.Array.from_buffers(
+            pa.binary(), len(ln),
+            [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(gathered.tobytes())],
+        )
         return pa.table(
             {
-                "media_id": pa.array(ids, pa.int64()),
-                "mime": pa.array(mimes, pa.string()),
-                "frame_idx": pa.array(fidx, pa.int32()),
-                "ts_ms": pa.array(ts, pa.int64()),
-                "frame": pa.array(frames, pa.binary()),
+                "media_id": batch["media_id"].take(pa.array(row_r)),
+                "mime": batch["mime"].take(pa.array(row_r)),
+                "frame_idx": pa.array(frame_idx.astype(np.int32)),
+                "ts_ms": pa.array(ts_ms),
+                "frame": frame_arr,
             }
         )
 
@@ -228,7 +281,7 @@ def extract_audio_features(ds, *, feature_dim: int = 8, concurrency: int = 4,
         fn_constructor_kwargs={"feature_dim": feature_dim},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         num_cpus=1,
         zero_copy_batch=True,
     )
@@ -243,7 +296,7 @@ def sample_video_frames(ds, *, k: int = 4, concurrency: int = 4,
         fn_constructor_kwargs={"k": k},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         num_cpus=1,
         zero_copy_batch=True,
     )
@@ -278,6 +331,41 @@ def synthetic_video_table(n: int, seed: int = 2) -> pa.Table:
             "fps": pa.array(np.full(n, 24.0, np.float32)),
         }
     ).cast(VIDEO_SCHEMA)
+
+
+#: where the deterministic media fixture parquet lives; the driver's DuckDB
+#: oracle reads these same files via read_parquet(), so the engine queries
+#: and the SQL run over identical bytes
+MEDIA_FIXTURE_DIR = "/tmp/datax_ray_media"
+_FIXTURE_SPEC = {
+    # file → (generator, n, seed); keep in lockstep with the q_multimodal_*
+    # queries AND the multimodal_* ORACLES
+    "media.parquet": ("media", 512, 42),
+    "audio.parquet": ("audio", 512, 43),
+    "video.parquet": ("video", 256, 44),
+}
+
+
+def ensure_media_fixture(out_dir: str = MEDIA_FIXTURE_DIR) -> str:
+    """Write the synthetic media/audio/video tables to parquet (atomic,
+    idempotent — content is deterministic). Called from both the query
+    side and the oracle side so either can run first."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    gens = {
+        "media": synthetic_media_table,
+        "audio": synthetic_audio_table,
+        "video": synthetic_video_table,
+    }
+    for name, (kind, n, seed) in _FIXTURE_SPEC.items():
+        # always rewrite (atomic; content deterministic and tiny) so a
+        # stale fixture from an older code version can never linger
+        path = os.path.join(out_dir, name)
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(gens[kind](n, seed=seed), tmp)
+        os.replace(tmp, path)
+    return out_dir
 
 
 def synthetic_media_table(n: int, seed: int = 0) -> pa.Table:

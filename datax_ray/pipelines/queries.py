@@ -29,6 +29,7 @@ from datax_ray.ops.dedup import (
     simhash_candidates,
 )
 from datax_ray.ops.joins import broadcast_join
+from datax_ray.ops.multimodal import MEDIA_FIXTURE_DIR as _MEDIA_DIR
 from datax_ray.ops.similarity import knn_bruteforce
 from datax_ray.ops.text import (
     add_fingerprint,
@@ -524,28 +525,58 @@ def q_embedding_neardup(sf_dir: str):
     return embedding_neardup_pairs(ds, dim=64, n_bits=3, threshold=0.40)
 
 
-def q_multimodal_features(sf_dir: str):
-    from datax_ray.ops.multimodal import extract_image_features, synthetic_media_table
+def _media_read(name: str, n_blocks: int):
+    """Read one media fixture parquet as a Dataset with enough input blocks
+    to feed the stage's actor pool (silences Ray's min-actors>inputs
+    warning at tiny scale; at real scale the reader produces many blocks
+    naturally)."""
+    from datax_ray.ops.multimodal import ensure_media_fixture
 
-    t = synthetic_media_table(512, seed=42)
-    return extract_image_features(_rd().from_arrow(t), feature_dim=8,
-                                  concurrency=2, batch_size=64)
+    d = ensure_media_fixture()
+    return _rd().read_parquet(os.path.join(d, name),
+                              override_num_blocks=n_blocks)
+
+
+def q_multimodal_features(sf_dir: str):
+    """Image actor-pool stage over the deterministic fixture parquet.
+    The feature vectors themselves are non-SQL (stub codec) — the oracled
+    projection is the metadata the stage derives (payload byte length)."""
+    from datax_ray.ops.multimodal import extract_image_features
+
+    out = extract_image_features(_media_read("media.parquet", 4),
+                                 feature_dim=8, concurrency=2, batch_size=64)
+    return out.map_batches(
+        lambda t: t.select(["media_id", "mime", "n_bytes"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
 
 def q_multimodal_audio(sf_dir: str):
-    from datax_ray.ops.multimodal import extract_audio_features, synthetic_audio_table
+    """Audio actor-pool stage; oracled on (media_id, mime, duration_s) —
+    duration is n_samples / sample_rate rounded half-away to 6 digits,
+    which DuckDB reproduces exactly over the same fixture parquet."""
+    from datax_ray.ops.multimodal import extract_audio_features
 
-    t = synthetic_audio_table(512, seed=43)
-    return extract_audio_features(_rd().from_arrow(t), feature_dim=8,
-                                  concurrency=2, batch_size=64)
+    out = extract_audio_features(_media_read("audio.parquet", 4),
+                                 feature_dim=8, concurrency=2, batch_size=64)
+    return out.map_batches(
+        lambda t: t.select(["media_id", "mime", "duration_s"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
 
 def q_multimodal_frames(sf_dir: str):
-    from datax_ray.ops.multimodal import sample_video_frames, synthetic_video_table
+    """Video frame-sampling explode; oracled on (media_id, frame_idx,
+    ts_ms) — the integer pick rule i*(nf-1)//(k'-1) and floor(ts) are
+    closed-form over (n_frames, fps), replicated in SQL."""
+    from datax_ray.ops.multimodal import sample_video_frames
 
-    t = synthetic_video_table(256, seed=44)
-    return sample_video_frames(_rd().from_arrow(t), k=4,
-                               concurrency=2, batch_size=32)
+    out = sample_video_frames(_media_read("video.parquet", 4),
+                              k=4, concurrency=2, batch_size=32)
+    return out.map_batches(
+        lambda t: t.select(["media_id", "frame_idx", "ts_ms"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
 
 def q_cdc_schema_evolution(sf_dir: str):
@@ -910,6 +941,34 @@ wmin AS (SELECT doc_id, min(hv) OVER (PARTITION BY doc_id ORDER BY pos
            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM h)
 SELECT DISTINCT doc_id, fp FROM wmin
 """.strip(),
+    # multimodal oracles read the SAME deterministic fixture parquet the
+    # queries run over (ensure_media_fixture writes it from either side);
+    # feature/frame payload columns are stub-codec output and stay out of
+    # the oracled projection
+    "multimodal_features": (
+        "SELECT media_id, mime, octet_length(payload) AS n_bytes "
+        f"FROM read_parquet('{_MEDIA_DIR}/media.parquet')"
+    ),
+    "multimodal_audio": (
+        "SELECT media_id, mime, "
+        "round(n_samples / CAST(sample_rate AS DOUBLE), 6) AS duration_s "
+        f"FROM read_parquet('{_MEDIA_DIR}/audio.parquet')"
+    ),
+    "multimodal_frames": """
+WITH v AS (SELECT media_id, n_frames, fps
+           FROM read_parquet('{d}/video.parquet') WHERE n_frames > 0),
+p AS (SELECT media_id, n_frames, fps, i.i AS i
+      FROM v CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+      WHERE i.i < least(4, n_frames)),
+f AS (SELECT media_id,
+        CAST(CASE WHEN least(4, n_frames) = 1 THEN 0
+             ELSE (i * (n_frames - 1)) // (least(4, n_frames) - 1)
+             END AS INTEGER) AS frame_idx,
+        fps FROM p)
+SELECT media_id, frame_idx,
+       CAST(floor(frame_idx * 1000.0 / fps) AS BIGINT) AS ts_ms
+FROM f
+""".strip().format(d=_MEDIA_DIR),
     "knn_bruteforce": f"""
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id < {_KNN_Q}),

@@ -193,3 +193,65 @@ class TestTopK:
         exp = (t.to_pandas().sort_values(["s", "k"], ascending=[False, True])
                .head(4).reset_index(drop=True))
         assert got.reset_index(drop=True).equals(exp)
+
+
+# ----------------------------------------------------- multimodal round 3
+@pytest.mark.usefixtures("ray_session")
+class TestVideoSamplerVectorized:
+    def test_pick_rule_matches_reference_loop(self):
+        """The vectorized sampler must equal the obvious per-row loop."""
+        from datax_ray.ops.multimodal import VideoFrameSampler, synthetic_video_table
+
+        t = synthetic_video_table(64, seed=9)
+        out = VideoFrameSampler(k=4)(t)
+        got = out.to_pandas().to_records(index=False)
+        exp = []
+        for r in t.to_pylist():
+            nf = int(r["n_frames"] or 0)
+            if nf <= 0:
+                continue
+            k = min(4, nf)
+            blob = r["payload"] or b""
+            step = max(len(blob) // nf, 1)
+            for i in range(k):
+                f = 0 if k == 1 else i * (nf - 1) // (k - 1)
+                lo = f * len(blob) // nf if blob else 0
+                exp.append((r["media_id"], r["mime"], f,
+                            int(f * 1000.0 / r["fps"]), blob[lo:lo + step]))
+        assert len(got) == len(exp)
+        for g, e in zip(got, exp):
+            assert tuple(g) == e
+
+    def test_edge_metadata(self):
+        """Zero/None n_frames emit nothing; empty payload emits empty
+        frames; k'=1 emits frame 0."""
+        from datax_ray.ops.multimodal import VIDEO_SCHEMA, VideoFrameSampler
+
+        t = pa.table({
+            "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "mime": pa.array(["v"] * 4),
+            "payload": pa.array([b"abcdef", b"", None, b"xy"], pa.binary()),
+            "n_frames": pa.array([1, 5, 0, None], pa.int32()),
+            "fps": pa.array([24.0, 0.0, 24.0, 24.0], pa.float32()),
+        }).cast(VIDEO_SCHEMA)
+        out = VideoFrameSampler(k=4)(t).to_pandas()
+        assert list(out["media_id"].unique()) == [1, 2]
+        one = out[out["media_id"] == 1]
+        assert list(one["frame_idx"]) == [0] and list(one["frame"]) == [b"abcdef"]
+        two = out[out["media_id"] == 2]
+        assert list(two["frame_idx"]) == [0, 1, 2, 4]  # i*(5-1)//3
+        assert all(f == b"" for f in two["frame"])     # empty payload
+        # fps<=0 falls back to 1.0 fps for ts
+        assert list(two["ts_ms"]) == [0, 1000, 2000, 4000]
+
+    def test_fixture_deterministic(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from datax_ray.ops.multimodal import ensure_media_fixture
+
+        d1 = ensure_media_fixture(str(tmp_path / "m1"))
+        d2 = ensure_media_fixture(str(tmp_path / "m2"))
+        for name in ("media.parquet", "audio.parquet", "video.parquet"):
+            a = pq.read_table(os.path.join(d1, name))
+            b = pq.read_table(os.path.join(d2, name))
+            assert a.equals(b)
