@@ -37,11 +37,14 @@ from datax_ray.ops.text import add_fingerprint, add_simhash
 #: (empty docs, boilerplate) can put millions of docs in one LSH bucket;
 #: np.triu_indices over that is O(n²) compute AND output — a scale-killer.
 #: Buckets above the cap are sub-split into id-sorted chunks of ``cap``:
-#: all pairs within each chunk + links between consecutive chunk
-#: representatives (so a truly-degenerate all-duplicates bucket still forms
-#: ONE connected component downstream). Work becomes O(n·cap). The recall
-#: cost is only cross-chunk pairs inside oversized buckets — which are, by
-#: construction, the buckets whose pair set nobody can afford anyway.
+#: all pairs within each chunk + a STAR of links from the first chunk's
+#: representative to every other chunk's (so a truly-degenerate
+#: all-duplicates bucket still forms ONE connected component downstream,
+#: with graph DIAMETER ≤ 4 regardless of bucket size — a chain of reps
+#: would hand the label-propagation CC a diameter that grows with bucket
+#: size). Work becomes O(n·cap). The recall cost is only cross-chunk pairs
+#: inside oversized buckets — which are, by construction, the buckets
+#: whose pair set nobody can afford anyway.
 DEFAULT_BUCKET_CAP = 2048
 
 
@@ -57,7 +60,7 @@ def _bucket_pair_indices(n: int, cap: int) -> tuple[np.ndarray, np.ndarray]:
         ia_list.append(ia + s)
         ib_list.append(ib + s)
     reps = np.arange(0, n, cap)
-    ia_list.append(reps[:-1])
+    ia_list.append(np.full(len(reps) - 1, reps[0]))  # star, not chain
     ib_list.append(reps[1:])
     return np.concatenate(ia_list), np.concatenate(ib_list)
 
@@ -204,69 +207,212 @@ def minhash_signature_batch(texts: list[str | None], num_perm: int, shingle_k: i
 def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
                            num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
                            threshold: float = 0.5, seed: int = 7,
-                           bucket_cap: int = DEFAULT_BUCKET_CAP):
+                           bucket_cap: int = DEFAULT_BUCKET_CAP,
+                           num_partitions: int = 16):
     """MinHash + LSH near-dup pairs: shingle → minhash → band → bucket
-    groupby → pairwise signature-estimated Jaccard ≥ threshold.
-    Returns (id_a, id_b, est_jaccard)."""
-    rows = num_perm // bands
+    groupby → distinct candidate pairs → signature join-back verify
+    (estimated Jaccard ≥ threshold). Returns (id_a, id_b, est_jaccard).
 
-    def sig_and_bands(t: pa.Table) -> pa.Table:
+    Two-phase exchange plan: the band shuffle carries ONLY
+    (band:int16, band_hash:u64, id:i64) ≈ 18 bytes × bands per doc; the
+    full num_perm×u64 signature (~0.5 KB per doc at 64 perms) is shuffled
+    ONCE in the verify join — not replicated into every band row, which
+    at 16 bands would put ~16× the signature bytes through the exchange
+    (the dominant cost at 100-TB corpus scale). Verify volume is
+    2×|candidate pairs|, and pairs are rare by construction."""
+    rows = num_perm // bands
+    sig_type = pa.list_(pa.uint64(), num_perm)
+
+    def sig_batch(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
         sigs = minhash_signature_batch(texts, num_perm, shingle_k, seed)
+        return pa.table(
+            {id_col: t[id_col].cast(pa.int64()),
+             "sig": pa.array(list(sigs), sig_type)}
+        )
+
+    # signatures computed ONCE, kept in the object store for the verify
+    sig_ds = ds.map_batches(sig_batch, batch_format="pyarrow").materialize()
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        sig_col = t["sig"].combine_chunks()
+        sigs = (sig_col.flatten().to_numpy(zero_copy_only=False)
+                .reshape(len(sig_col), num_perm))
         ids = np.asarray(t[id_col])
-        band_hashes = np.empty((len(ids), bands), dtype=np.uint64)
         P = np.uint64(1099511628211)  # FNV prime; uint64 wraparound fold
+        parts = []
         for b in range(bands):
             seg = sigs[:, b * rows : (b + 1) * rows]
             with np.errstate(over="ignore"):
                 h = seg[:, 0].copy()
                 for j in range(1, rows):
                     h = h * P + seg[:, j]
-            band_hashes[:, b] = h
-        parts = []
-        for b in range(bands):
             parts.append(
                 pa.table(
                     {
                         "band": pa.array(np.full(len(ids), b, dtype=np.int16)),
-                        "band_hash": pa.array(band_hashes[:, b]),
+                        "band_hash": pa.array(h),
                         id_col: pa.array(ids),
-                        "sig": pa.array(list(sigs), pa.list_(pa.uint64(), num_perm)),
                     }
                 )
             )
         return pa.concat_tables(parts)
 
-    def pairs(g: pa.Table) -> pa.Table:
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        if g.num_rows < 2:
+            return empty
+        ids = np.sort(np.asarray(g[id_col]))
+        ia, ib = _bucket_pair_indices(len(ids), bucket_cap)
+        return pa.table({"id_a": pa.array(ids[ia]), "id_b": pa.array(ids[ib])})
+
+    cand = (
+        sig_ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # no separate distinct pass: a pair surfacing from k bands sends k
+    # identical endpoint requests to the SAME hash partition, where the
+    # verify's attach stage drops duplicates in its one vectorized sort
+    return _verify_sig_pairs(
+        sig_ds, cand, threshold=threshold, num_perm=num_perm, id_col=id_col,
+        num_partitions=num_partitions,
+    )
+
+
+def _verify_sig_pairs(sig_ds, pairs_ds, *, threshold: float, num_perm: int,
+                      id_col: str = "doc_id", num_partitions: int = 16):
+    """Join signatures back onto candidate pairs (duplicates from multiple
+    bands welcome — deduped inside the attach fold) and keep pairs with
+    estimated Jaccard ≥ threshold — (id_a, id_b, est_jaccard).
+
+    Exchange 1 co-partitions signatures with pair-endpoint requests by
+    hash(id) (sigs move ONCE); a vectorized searchsorted gather attaches
+    each endpoint's signature. Exchange 2 re-partitions the two attached
+    rows of each pair together by hash(pair key) and compares the
+    signature matrices row-wise. Both folds are one numpy pass per
+    partition — no per-pair Python."""
+    sig_type = pa.list_(pa.uint64(), num_perm)
+
+    def part_of(arr: np.ndarray) -> pa.Array:
+        p = (stable_hash(arr) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.array(p, pa.int32())
+
+    def tag_sigs(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col])
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "sig": t["sig"],
+                "key_a": pa.nulls(t.num_rows, pa.int64()),
+                "key_b": pa.nulls(t.num_rows, pa.int64()),
+                "_part": part_of(ids),
+            }
+        )
+
+    def tag_requests(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["id_a"]).astype(np.int64)
+        b = np.asarray(t["id_b"]).astype(np.int64)
+        ids = np.concatenate([a, b])
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "sig": pa.nulls(2 * t.num_rows, sig_type),
+                "key_a": pa.array(np.concatenate([a, a])),
+                "key_b": pa.array(np.concatenate([b, b])),
+                "_part": part_of(ids),
+            }
+        )
+
+    def attach(g: pa.Table) -> pa.Table:
+        is_req = pc.is_valid(g["key_a"])
+        req = g.filter(is_req)
+        sig = g.filter(pc.invert(is_req))
+        empty = pa.table(
+            {"key_a": pa.array([], pa.int64()), "key_b": pa.array([], pa.int64()),
+             "sig": pa.array([], sig_type), "_p2": pa.array([], pa.int32())}
+        )
+        if req.num_rows == 0 or sig.num_rows == 0:
+            return empty
+        # dedupe requests: a pair found by k bands sends k identical rows
+        # here (same endpoint hash) — one lexsort+mask distinct replaces a
+        # whole extra shuffle pass over the pair set
+        rid_all = np.asarray(req["id"])
+        ka_all = np.asarray(req["key_a"]).astype(np.int64)
+        kb_all = np.asarray(req["key_b"]).astype(np.int64)
+        ordr = np.lexsort((rid_all, kb_all, ka_all))
+        rid_all, ka_all, kb_all = rid_all[ordr], ka_all[ordr], kb_all[ordr]
+        uniq = np.empty(len(rid_all), dtype=bool)
+        uniq[0] = True
+        uniq[1:] = (
+            (ka_all[1:] != ka_all[:-1]) | (kb_all[1:] != kb_all[:-1])
+            | (rid_all[1:] != rid_all[:-1])
+        )
+        rid = rid_all[uniq]
+        ka = ka_all[uniq]
+        kb = kb_all[uniq]
+
+        sid = np.asarray(sig["id"])
+        order = np.argsort(sid)
+        sid_sorted = sid[order]
+        sig_col = sig["sig"].combine_chunks()
+        mat = (sig_col.flatten().to_numpy(zero_copy_only=False)
+               .reshape(len(sig_col), num_perm))[order]
+        pos = np.searchsorted(sid_sorted, rid)
+        found = (pos < len(sid_sorted)) & (sid_sorted[np.minimum(pos, len(sid_sorted) - 1)] == rid)
+        if not found.all():  # candidate ids always come from sig_ds
+            ka, kb = ka[found], kb[found]
+            pos = pos[found]
+        key = ka * np.int64(1_000_003) + kb  # same key fold as _distinct_pairs
+        p2 = (stable_hash(key) % np.uint64(num_partitions)).astype(np.int32)
+        taken = mat[pos]
+        return pa.table(
+            {
+                "key_a": pa.array(ka),
+                "key_b": pa.array(kb),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(taken.ravel()), num_perm
+                ),
+                "_p2": pa.array(p2, pa.int32()),
+            }
+        )
+
+    def est_fold(g: pa.Table) -> pa.Table:
         empty = pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
              "est_jaccard": pa.array([], pa.float64())}
         )
-        if g.num_rows < 2:
+        if g.num_rows == 0:
             return empty
-        ids = np.asarray(g[id_col])
+        ka = np.asarray(g["key_a"])
+        kb = np.asarray(g["key_b"])
+        order = np.lexsort((kb, ka))
         sig_col = g["sig"].combine_chunks()
-        # fixed-size-list → zero-copy flat reshape (no per-row np.stack)
-        sigs = (sig_col.flatten().to_numpy(zero_copy_only=False)
-                .reshape(len(sig_col), sig_col.type.list_size))
-        order = np.argsort(ids)
-        ids, sigs = ids[order], sigs[order]
-        ia, ib = _bucket_pair_indices(len(ids), bucket_cap)
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
+        mat = (sig_col.flatten().to_numpy(zero_copy_only=False)
+               .reshape(len(sig_col), num_perm))[order]
+        ka, kb = ka[order], kb[order]
+        # two attached rows per pair, now adjacent
+        a_side, b_side = mat[0::2], mat[1::2]
+        est = (a_side == b_side).mean(axis=1)
         keep = est >= threshold
         if not keep.any():
             return empty
         return pa.table(
-            {"id_a": pa.array(ids[ia[keep]]), "id_b": pa.array(ids[ib[keep]]),
+            {"id_a": pa.array(ka[0::2][keep]), "id_b": pa.array(kb[0::2][keep]),
              "est_jaccard": pa.array(np.round(est[keep], 6))}
         )
 
-    out = (
-        ds.map_batches(sig_and_bands, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(pairs, batch_format="pyarrow")
+    sigs_tagged = sig_ds.map_batches(tag_sigs, batch_format="pyarrow")
+    reqs_tagged = pairs_ds.map_batches(tag_requests, batch_format="pyarrow")
+    return (
+        sigs_tagged.union(reqs_tagged)
+        .groupby("_part")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby("_p2")
+        .map_groups(est_fold, batch_format="pyarrow")
     )
-    return _distinct_pairs(out)
 
 
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
@@ -374,31 +520,46 @@ def embedding_neardup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "ve
 
 
 def connected_components_distributed(pairs_ds, *, max_rounds: int = 20,
-                                     id_a: str = "id_a", id_b: str = "id_b"):
+                                     id_a: str = "id_a", id_b: str = "id_b",
+                                     num_partitions: int = 16):
     """Distributed connected components over candidate pairs by min-label
     propagation — the at-scale alternative to the driver-side union-find.
 
-    Each round is two groupbys (no joins): nodes broadcast their current
-    label along edges, every node takes the min of what it hears plus its
-    own label. Converges in O(diameter) rounds; near-dup clusters are tiny
-    (diameter ≤ a few), so 3–5 rounds typically suffice. Returns a Dataset
-    of (id, component) with component = min id of the cluster.
+    Each round: labels, edges AND "parent edges" (label → id, the
+    pointer-jumping double hop: joining labels onto these delivers
+    label[label[id]], so the remaining label-chain depth halves — O(log
+    diameter) rounds, not O(diameter)) are hash-co-partitioned by node
+    in ONE exchange; inside each partition a single vectorized
+    ``pa.Table.join`` propagates labels along edges, and a
+    ``groupby(id).aggregate(Min)`` folds what each node heard with its
+    own label. Python runs once per PARTITION on Arrow tables — no
+    per-node calls, vs the per-group ``map_groups(emit)`` this replaces
+    (one Python call per graph node per round, a scale-killer at
+    millions of candidate nodes). (Ray's native ``Dataset.join`` was
+    measured 6× slower here: its aggregator actor pools respawn every
+    round, and CC is a many-round loop.)
 
-    Rounds materialize the (small) label set — pairs/labels are candidate-
-    sized, orders of magnitude below the corpus, so this is cheap relative
-    to the candidate generation that produced them.
+    Partitioning assumption: near-dup candidate components are small —
+    the pair generators guarantee it (capped buckets; the hot-bucket
+    chunk links form a diameter-≤4 star). A single giant component still
+    resolves correctly, but its hub label concentrates one partition and
+    rounds slow down (the usual skewed-key caveat). Returns a Dataset of
+    (id, component), component = min id of the cluster. Rounds
+    materialize the (small) label set — pairs/labels are candidate-
+    sized, orders of magnitude below the corpus.
     """
-    import ray.data as rd
     from ray.data.aggregate import Min
 
     edges = pairs_ds.map_batches(
         lambda t: pa.table(
             {
-                "src": pa.concat_arrays(
-                    [t[id_a].combine_chunks(), t[id_b].combine_chunks()]
+                "node": pa.concat_arrays(
+                    [t[id_a].combine_chunks().cast(pa.int64()),
+                     t[id_b].combine_chunks().cast(pa.int64())]
                 ),
                 "dst": pa.concat_arrays(
-                    [t[id_b].combine_chunks(), t[id_a].combine_chunks()]
+                    [t[id_b].combine_chunks().cast(pa.int64()),
+                     t[id_a].combine_chunks().cast(pa.int64())]
                 ),
             }
         ),
@@ -407,46 +568,66 @@ def connected_components_distributed(pairs_ds, *, max_rounds: int = 20,
 
     # labels start as self
     labels = edges.map_batches(
-        lambda t: pa.table({"id": t["src"], "label": t["src"]}),
+        lambda t: pa.table({"id": t["node"], "label": t["node"]}),
         batch_format="pyarrow",
     ).groupby("id").aggregate(Min("label", alias_name="label")).materialize()
 
+    def part_of(col) -> pa.Array:
+        p = (stable_hash(col) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.array(p, pa.int32())
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t["id"], "dst": pa.nulls(t.num_rows, pa.int64()),
+             "label": t["label"], "_part": part_of(t["id"])}
+        )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t["node"], "dst": t["dst"],
+             "label": pa.nulls(t.num_rows, pa.int64()),
+             "_part": part_of(t["node"])}
+        )
+
+    def tag_parent_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t["label"], "dst": t["id"],
+             "label": pa.nulls(t.num_rows, pa.int64()),
+             "_part": part_of(t["label"])}
+        )
+
+    def propagate(g: pa.Table) -> pa.Table:
+        """One partition: join labels onto co-partitioned (parent) edges,
+        emit (dst, label) messages + label self-rows."""
+        is_lab = pc.is_valid(g["label"])
+        lab = g.filter(is_lab).select(["node", "label"])
+        edg = g.filter(pc.invert(is_lab)).select(["node", "dst"])
+        msgs = edg.join(lab, keys=["node"], join_type="inner")
+        return pa.table(
+            {
+                "id": pa.concat_arrays(
+                    [msgs["dst"].combine_chunks(), lab["node"].combine_chunks()]
+                ),
+                "label": pa.concat_arrays(
+                    [msgs["label"].combine_chunks(), lab["label"].combine_chunks()]
+                ),
+            }
+        )
+
+    edg_tagged = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
     for _ in range(max_rounds):
-        # message pass: tag labels and edges, group by node id, emit
-        # (neighbor, my_label) for each edge + (me, my_label)
-        lab = labels.map_batches(
-            lambda t: pa.table(
-                {"node": t["id"], "other": pa.nulls(t.num_rows, pa.int64()),
-                 "label": t["label"]}
-            ),
-            batch_format="pyarrow",
-        )
-        edg = edges.map_batches(
-            lambda t: pa.table(
-                {"node": t["src"], "other": t["dst"],
-                 "label": pa.nulls(t.num_rows, pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
-
-        def emit(g: pa.Table) -> pa.Table:
-            import pyarrow.compute as _pc
-
-            my = _pc.min(g["label"]).as_py()
-            neigh = g["other"].drop_null()
-            ids = pa.concat_arrays([neigh.combine_chunks(),
-                                    pa.array([g["node"][0].as_py()], pa.int64())])
-            return pa.table(
-                {"id": ids,
-                 "label": pa.array([my] * len(ids), pa.int64())}
-            )
-
+        lab_tagged = labels.map_batches(tag_labels, batch_format="pyarrow")
+        par_tagged = labels.map_batches(tag_parent_edges, batch_format="pyarrow")
         new_labels = (
-            lab.union(edg)
-            .groupby("node")
-            .map_groups(emit, batch_format="pyarrow")
+            lab_tagged.union(edg_tagged, par_tagged)
+            .groupby("_part")
+            .map_groups(propagate, batch_format="pyarrow")
             .groupby("id")
             .aggregate(Min("label", alias_name="label"))
+            # coalesce: without this the sort-groupby's output block count
+            # compounds round over round (≈2× per round) and per-round
+            # overhead balloons with block COUNT, not data size
+            .repartition(num_partitions)
             .materialize()
         )
         # converged when total label sum stops decreasing

@@ -49,15 +49,21 @@ def _rd():
     return rd
 
 
-def _read(sf_dir: str, table: str, columns=None, filter=None):
+def _read(sf_dir: str, table: str, columns=None, filter=None, num_blocks=None):
     # explicit metadata-free schema: stray pandas metadata in the testdata
     # footers defeats Ray's block-schema hashing (worker "Failed to hash
-    # the schemas" warnings) and bloats every block's schema payload
+    # the schemas" warnings) and bloats every block's schema payload.
+    # num_blocks: the testdata tables are single parquet files → ONE input
+    # block, which serializes every downstream stage of a multi-stage
+    # pipeline; real corpora arrive in many files/row-groups, so an
+    # explicit split here just restores the normal execution shape
     path = os.path.join(sf_dir, f"{table}.parquet")
     schema = pq.read_schema(path).remove_metadata()
     if columns:
         schema = pa.schema([schema.field(c) for c in columns])
-    return _rd().read_parquet(path, schema=schema, columns=columns, filter=filter)
+    kw = {"override_num_blocks": num_blocks} if num_blocks else {}
+    return _rd().read_parquet(path, schema=schema, columns=columns,
+                              filter=filter, **kw)
 
 
 # --------------------------------------------------------------- CDC core
@@ -507,13 +513,13 @@ def q_knn_bruteforce(sf_dir: str):
 
 # rows-only (non-SQL-expressible) pipelines -------------------------------
 def q_minhash_lsh_pairs(sf_dir: str):
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=8)
     return minhash_lsh_candidates(ds, num_perm=64, bands=16, shingle_k=3,
                                   threshold=0.5)
 
 
 def q_simhash_pairs(sf_dir: str):
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=8)
     return simhash_candidates(ds, max_hamming=6)
 
 
@@ -521,7 +527,8 @@ def q_embedding_neardup(sf_dir: str):
     # threshold sits inside the data's actual cosine range (synthetic
     # embeddings top out ~0.51 pairwise) so the LSH+verify path is
     # exercised non-degenerately; n_bits low → decent recall at this θ
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+               num_blocks=8)
     return embedding_neardup_pairs(ds, dim=64, n_bits=3, threshold=0.40)
 
 

@@ -255,3 +255,46 @@ class TestVideoSamplerVectorized:
             a = pq.read_table(os.path.join(d1, name))
             b = pq.read_table(os.path.join(d2, name))
             assert a.equals(b)
+
+
+# -------------------------------------- distributed connected components
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedCCScale:
+    def test_30k_node_graph_matches_union_find(self):
+        """~30k-node candidate graph: the vectorized join-propagation
+        rounds must complete quickly (no per-node Python) and agree with
+        the driver union-find on every node."""
+        import time
+
+        import ray.data as rd
+
+        from datax_ray.ops.dedup import (
+            connected_components,
+            connected_components_distributed,
+        )
+
+        rng = np.random.default_rng(17)
+        n = 30_000
+        # realistic near-dup candidate graph (the op's documented
+        # partitioning assumption): many SMALL components — chains of 8
+        # (what capped buckets + star links produce) plus random
+        # intra-cluster links
+        a = np.arange(n - 1, dtype=np.int64)
+        mask = (a % 8) != 7          # break every 8th edge → 12.5k chains
+        chain = np.stack([a[mask], a[mask] + 1], axis=1)
+        base = rng.integers(0, n // 8, size=3_000, dtype=np.int64) * 8
+        off = rng.integers(0, 8, size=(3_000, 2))
+        rnd = base[:, None] + off    # random links inside a cluster
+        rnd = rnd[rnd[:, 0] != rnd[:, 1]]
+        pairs = np.concatenate([chain, rnd])
+        t = pa.table({"id_a": pa.array(pairs[:, 0]),
+                      "id_b": pa.array(pairs[:, 1])})
+        t0 = time.perf_counter()
+        got = connected_components_distributed(
+            rd.from_arrow(t).repartition(8)
+        ).to_pandas()
+        secs = time.perf_counter() - t0
+        want = connected_components([tuple(p) for p in pairs])
+        got_map = dict(zip(got["id"], got["component"]))
+        assert got_map == want
+        assert secs < 180, f"distributed CC took {secs:.0f}s"
