@@ -84,6 +84,12 @@ def _build_reader(name: str, p: dict[str, Any]):
 
         return read_orc(p["path"], columns=p.get("columns"),
                         path_regex=p.get("pathRegex"))
+    if name == "duckdb":
+        # querySql mode (ReaderSplitUtil.java:92-102): each SQL string is
+        # one slice run in its own Ray task over registered file views
+        from datax_ray.sources.duckdbsource import read_sql
+
+        return read_sql(p["sql"], p.get("views"))
     from datax_ray.plugins import SOURCE_REGISTRY
 
     if name in SOURCE_REGISTRY:
@@ -138,6 +144,16 @@ def _run_writer(name: str, p: dict[str, Any], ds, resume: bool) -> dict[str, Any
         prepare_dir(p["path"], p.get("writeMode", "append"), prefix="")
         ds.write_json(p["path"])
         return {"rows": None, "path": p["path"]}
+    if name == "orc":
+        from datax_ray.sinks.orcsink import write_orc
+
+        report = write_orc(
+            ds, p["path"],
+            write_mode=p.get("writeMode", "append"),
+            prefix=p.get("fileName", "part"),
+            compression=p.get("compress", "zstd"),
+        )
+        return {"rows": sum(r["rows"] for r in report), "files": len(report)}
     if name == "stdout":
         n = p.get("limit", 20)
         for row in ds.take(n):

@@ -283,6 +283,50 @@ def q_csv_roundtrip(sf_dir: str):
     )
 
 
+def q_querysql_read(sf_dir: str):
+    """querySql-mode reader (ReaderSplitUtil.java:92-102 analogue): the
+    user supplies raw SQL slices as the split contract — two DuckDB
+    slices over the orders parquet here — and Ray combines them with a
+    grouped aggregate downstream."""
+    from ray.data.aggregate import Count, Sum
+
+    from datax_ray.sources.duckdbsource import read_sql
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    slices = [
+        "SELECT o_orderpriority, o_totalprice FROM orders "
+        f"WHERE o_orderkey % 2 = {i}"
+        for i in (0, 1)
+    ]
+    ds = read_sql(slices, views={"orders": path})
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.round(
+            pc.multiply(t["o_totalprice"], 100.0),
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        return pa.table({"o_orderpriority": t["o_orderpriority"], "cents": c})
+
+    return (
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+    )
+
+
+def q_orc_roundtrip(sf_dir: str):
+    """writer→reader ORC round trip (hdfswriter ORC mode analogue):
+    parquet → distributed ORC part files → ORC read-back."""
+    from datax_ray.sinks.orcsink import list_output_files, write_orc
+    from datax_ray.sources.files import read_orc
+
+    out = f"/tmp/datax_ray_q/orc_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_acctbal"])
+    write_orc(ds, out, write_mode="truncate")
+    return read_orc(list_output_files(out))
+
+
 def q_stream_constants(sf_dir: str):
     """streamreader self-check analogue: typed constant rows × slices."""
     from datax_ray.sources.stream import stream_dataset
@@ -826,6 +870,14 @@ LEFT JOIN won tl ON tl.conv_id = a.conv_id AND tl.turn_idx = a.turn_idx
         "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
         "l_returnflag, l_shipdate FROM lineitem"
     ),
+    "querysql_read": """
+SELECT o_orderpriority, count(*) AS n,
+  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders GROUP BY o_orderpriority
+""".strip(),
+    "orc_roundtrip": (
+        "SELECT s_suppkey, s_name, s_acctbal FROM supplier"
+    ),
     "stream_constants": (
         "SELECT 'hello' AS c_str, CAST(42 AS BIGINT) AS c_long, "
         "3.14 AS c_double, TRUE AS c_bool, "
@@ -1006,6 +1058,8 @@ QUERIES = {
     "transform_chain": q_transform_chain,
     "copy_project_filter": q_copy_project_filter,
     "csv_roundtrip": q_csv_roundtrip,
+    "querysql_read": q_querysql_read,
+    "orc_roundtrip": q_orc_roundtrip,
     "stream_constants": q_stream_constants,
     "agg_pricing_summary": q_agg_pricing_summary,
     "events_windowed_agg": q_events_windowed_agg,

@@ -298,3 +298,74 @@ class TestDistributedCCScale:
         got_map = dict(zip(got["id"], got["component"]))
         assert got_map == want
         assert secs < 180, f"distributed CC took {secs:.0f}s"
+
+
+# ------------------------------------------- querySql reader + ORC writer
+@pytest.mark.usefixtures("ray_session")
+class TestQuerySqlAndOrc:
+    def test_duckdb_reader_job_into_orc_writer(self, tmp_path):
+        """An arbitrary SQL read (querySql mode) flowing into any writer
+        through the job spec — here two SQL slices into the ORC sink."""
+        from pyarrow import orc
+
+        from datax_ray.cli import run_job
+
+        src = str(tmp_path / "src.parquet")
+        pq.write_table(
+            pa.table({"k": pa.array(range(100), pa.int64()),
+                      "v": pa.array([f"r{i}" for i in range(100)])}),
+            src,
+        )
+        out = str(tmp_path / "out")
+        spec = {"job": {"content": {
+            "reader": {"name": "duckdb", "parameter": {
+                "sql": ["SELECT k, v FROM t WHERE k % 2 = 0",
+                        "SELECT k, v FROM t WHERE k % 2 = 1"],
+                "views": {"t": src}}},
+            "writer": {"name": "orc", "parameter": {
+                "path": out, "writeMode": "truncate"}},
+        }}}
+        rep = run_job(spec)
+        assert rep["ok"] and rep["result"]["rows"] == 100
+        files = [f for f in os.listdir(out) if f.endswith(".orc")]
+        assert len(files) >= 2  # one part per slice
+        back = pa.concat_tables(
+            [orc.read_table(os.path.join(out, f)) for f in files]
+        ).sort_by("k")
+        assert back.column("k").to_pylist() == list(range(100))
+
+    def test_orc_roundtrip_values(self, tmp_path):
+        from datax_ray.sinks.orcsink import list_output_files, write_orc
+        from datax_ray.sources.files import read_orc
+
+        import ray.data as rd
+
+        t = pa.table({
+            "a": pa.array(np.arange(1000, dtype=np.int64)),
+            "b": pa.array(np.linspace(0, 1, 1000)),
+            "s": pa.array([f"x{i}" for i in range(1000)]),
+        })
+        out = str(tmp_path / "orc")
+        write_orc(rd.from_arrow(t).repartition(4), out, write_mode="truncate")
+        back = read_orc(list_output_files(out)).to_pandas().sort_values("a")
+        assert back["a"].tolist() == list(range(1000))
+        assert back["s"].tolist() == [f"x{i}" for i in range(1000)]
+
+    def test_orc_write_modes(self, tmp_path):
+        import ray.data as rd
+
+        from datax_ray.sinks.csvsink import WriteModeError
+        from datax_ray.sinks.orcsink import write_orc
+
+        t = pa.table({"a": [1, 2]})
+        out = str(tmp_path / "orc")
+        write_orc(rd.from_arrow(t), out, write_mode="truncate")
+        with pytest.raises(WriteModeError):
+            write_orc(rd.from_arrow(t), out, write_mode="nonConflict")
+        write_orc(rd.from_arrow(t), out, write_mode="append")
+
+    def test_duckdb_reader_rejects_bad_view_name(self):
+        from datax_ray.sources.duckdbsource import _run_slice
+
+        with pytest.raises(ValueError, match="invalid view name"):
+            _run_slice("SELECT 1", {"bad-name; DROP": "/tmp/x.parquet"})
