@@ -192,6 +192,15 @@ def run_scaling() -> dict:
     # closer to what separate cluster nodes (no shared clock) would show.
     lo_n, hi_n = (int(x) for x in
                   os.environ.get("BENCH_SCALING_LEVELS", "8,32").split(","))
+    # scaling runs at 4× the default bench workload (256M events): the
+    # per-replay serial term (epoch submission, commit waits, reduce tail
+    # — ~2.6 s at 64M) is FIXED, so a longer replay amortizes it the same
+    # way minutes-long epochs do at the 10^10-event target scale, and the
+    # raw T(4N)/(4×T(N)) number reflects the engine instead of the term
+    scaling_events = int(os.environ.get(
+        "BENCH_SCALING_EVENTS",
+        str(4 * int(os.environ.get("BENCH_EVENTS", "64000000"))),
+    ))
     res = {}
     order = [lo_n, hi_n] * reps
     for ncpu in order:
@@ -199,7 +208,8 @@ def run_scaling() -> dict:
         # BENCH_REPS=1: --scaling already does best-of-reps across fresh
         # subprocesses; in-process reps would double each level's runtime
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   BENCH_REPLAY_ONLY="1", BENCH_REPS="1")
+                   BENCH_REPLAY_ONLY="1", BENCH_REPS="1",
+                   BENCH_EVENTS=str(scaling_events))
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -203,22 +203,30 @@ def _get_remotes(num_partitions: int):
 
 def file_lsn_ranges(files: list[str]) -> dict[str, tuple[int, int] | None]:
     """(min, max) lsn per file from parquet footer stats — computed ONCE per
-    replay and reused by every epoch (footer scans on the driver are serial;
-    at 10^10 scale re-reading them per epoch would dominate)."""
-    out: dict[str, tuple[int, int] | None] = {}
-    for f in files:
+    replay and reused by every epoch (at 10^10 scale re-reading them per
+    epoch would dominate). Footers are fetched by a thread pool:
+    ``pq.read_metadata`` is IO-bound and releases the GIL, and a serial
+    scan over thousands of changelog files is exactly the kind of fixed
+    driver-side term that caps scaling efficiency on short replays."""
+
+    def one(f: str) -> tuple[int, int] | None:
         md = pq.read_metadata(f)
         fmin, fmax = None, None
         for rg in range(md.num_row_groups):
             col = md.row_group(rg).column(_lsn_index(md))
             st = col.statistics
             if st is None:
-                fmin = None
-                break
+                return None
             fmin = st.min if fmin is None else min(fmin, st.min)
             fmax = st.max if fmax is None else max(fmax, st.max)
-        out[f] = None if fmin is None else (fmin, fmax)
-    return out
+        return None if fmin is None else (fmin, fmax)
+
+    if len(files) <= 4:
+        return {f: one(f) for f in files}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(min(16, len(files))) as ex:
+        return dict(zip(files, ex.map(one, files)))
 
 
 def files_overlapping(

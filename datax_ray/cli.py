@@ -84,6 +84,13 @@ def _build_reader(name: str, p: dict[str, Any]):
 
         return read_orc(p["path"], columns=p.get("columns"),
                         path_regex=p.get("pathRegex"))
+    if name == "lake":
+        # read a CDC lake's folded state (optionally a time-travel
+        # snapshot as of a committed epoch) back into any writer
+        from datax_ray.sinks.lake import read_lake
+
+        return read_lake(p["path"], columns=p.get("columns"),
+                         as_of_epoch=p.get("asOfEpoch"))
     if name == "duckdb":
         # querySql mode (ReaderSplitUtil.java:92-102): each SQL string is
         # one slice run in its own Ray task over registered file views

@@ -694,6 +694,29 @@ def q_cdc_bootstrap_tail(sf_dir: str):
     return out
 
 
+def q_cdc_time_travel(sf_dir: str):
+    """Snapshot-as-of-epoch read: replay the derived changelog into a lake
+    in 4 committed epochs, then read the state AS OF epoch 1 (the first
+    half of the log) — the manifest's offset→epoch→files lineage IS the
+    snapshot index. Oracle: LWW fold of events with lsn < n/2."""
+    from datax_ray.cdc.replay import replay_files
+    from datax_ray.sinks.lake import read_lake_table
+
+    meta = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
+    n = meta.num_rows
+    work = f"/tmp/datax_ray_q/timetravel_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(work, ignore_errors=True)
+    cl_dir = os.path.join(work, "cl")
+    lake = os.path.join(work, "lake")
+    _changelog(sf_dir).write_parquet(cl_dir)
+    replay_files(cl_dir, lake_dir=lake, max_lsn_exclusive=n,
+                 num_partitions=8, epoch_size=(n + 3) // 4, compact_every=0)
+    out = read_lake_table(lake, as_of_epoch=1).select(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    return out
+
+
 def q_cdc_cell_versions(sf_dir: str):
     """MULTI_VERSION export (otsstreamreader README.md:84-127): row events
     exploded into per-cell version records + row-delete markers."""
@@ -797,6 +820,16 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM (
   SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
                                ORDER BY ts DESC, lsn DESC) AS rn
   FROM combined)
+WHERE rn = 1 AND op <> 'D'
+"""
+    ),
+    "cdc_time_travel": (
+        "WITH " + CHANGELOG_CTE.strip() + """
+SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM changelog
+  WHERE lsn < 2 * (((SELECT count(*) FROM events) + 3) // 4))
 WHERE rn = 1 AND op <> 'D'
 """
     ),
@@ -1051,6 +1084,7 @@ QUERIES = {
     "cdc_cell_versions": q_cdc_cell_versions,
     "cdc_cell_assemble": q_cdc_cell_assemble,
     "cdc_bootstrap_tail": q_cdc_bootstrap_tail,
+    "cdc_time_travel": q_cdc_time_travel,
     "dx_substr": q_dx_substr,
     "dx_pad": q_dx_pad,
     "dx_replace": q_dx_replace,

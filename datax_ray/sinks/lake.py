@@ -62,17 +62,28 @@ def fold_partition_files(files: list[str], *, drop_deletes: bool = True) -> pa.T
     return lww_fold_chain(tables, drop_deletes=drop_deletes)
 
 
-def read_lake(lake_dir: str, *, columns: list[str] | None = None):
-    """Current table state as a Dataset — one read+fold task per partition
-    (P independent tasks; no shuffle: files are already key-partitioned)."""
+def _partition_specs(manifest: Manifest, as_of_epoch: int | None) -> list[dict]:
+    files_of = (
+        manifest.partition_files if as_of_epoch is None
+        else (lambda p: manifest.partition_files_as_of(p, as_of_epoch))
+    )
+    return [
+        {"part": p, "files": files_of(p)}
+        for p in range(manifest.num_partitions)
+        if files_of(p)
+    ]
+
+
+def read_lake(lake_dir: str, *, columns: list[str] | None = None,
+              as_of_epoch: int | None = None):
+    """Table state as a Dataset — one read+fold task per partition
+    (P independent tasks; no shuffle: files are already key-partitioned).
+    ``as_of_epoch`` time-travels to the snapshot after that committed
+    epoch (manifest lineage: source offset → epoch → files)."""
     import ray.data as rd
 
     manifest = Manifest.load(lake_dir)
-    specs = [
-        {"part": p, "files": manifest.partition_files(p)}
-        for p in range(manifest.num_partitions)
-        if manifest.partition_files(p)
-    ]
+    specs = _partition_specs(manifest, as_of_epoch)
     if not specs:
         from datax_ray.schema import TRANSCRIPT_SCHEMA
 
@@ -89,13 +100,14 @@ def read_lake(lake_dir: str, *, columns: list[str] | None = None):
     return rd.from_items(specs).map_batches(load, batch_size=1, batch_format="pandas")
 
 
-def read_lake_table(lake_dir: str) -> pa.Table:
+def read_lake_table(lake_dir: str, *, as_of_epoch: int | None = None) -> pa.Table:
     """Driver-side full read (small lakes / tests only): folded state sorted
-    by (conv_id, turn_idx) — the stable output ordering invariant."""
+    by (conv_id, turn_idx) — the stable output ordering invariant.
+    ``as_of_epoch`` time-travels to that committed epoch's snapshot."""
     manifest = Manifest.load(lake_dir)
     tables = []
-    for p in range(manifest.num_partitions):
-        t = fold_partition_files(manifest.partition_files(p), drop_deletes=True)
+    for spec in _partition_specs(manifest, as_of_epoch):
+        t = fold_partition_files(spec["files"], drop_deletes=True)
         if t is not None and t.num_rows:
             tables.append(t)
     if not tables:

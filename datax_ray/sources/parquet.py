@@ -27,8 +27,17 @@ def changelog_files(path: str) -> list[str]:
 def unified_schema_of(files: list[str]) -> pa.Schema:
     # metadata stripped: stray pandas metadata defeats Ray's block-schema
     # hashing (worker-side "Failed to hash the schemas" warnings) and
-    # bloats every shuffled block's schema payload
-    return unify_schemas([pq.read_schema(f) for f in files]).remove_metadata()
+    # bloats every shuffled block's schema payload. Thread-pooled footer
+    # reads: a serial scan over many files is fixed driver-side time that
+    # caps scaling efficiency on short replays.
+    if len(files) <= 4:
+        schemas = [pq.read_schema(f) for f in files]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(16, len(files))) as ex:
+            schemas = list(ex.map(pq.read_schema, files))
+    return unify_schemas(schemas).remove_metadata()
 
 
 def read_changelog(

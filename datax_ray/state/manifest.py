@@ -184,6 +184,34 @@ class Manifest:
         files.extend(p["deltas"])
         return files
 
+    def partition_files_as_of(self, part: int, epoch: int) -> list[str]:
+        """Time-travel file set: the partition's state as of the given
+        committed epoch (inclusive). Delta/base filenames carry their
+        epoch (``delta-{epoch:06d}``), so the snapshot is just the prefix
+        of the fold chain. Raises if compaction already folded history
+        past the requested epoch — once a base subsumes later epochs the
+        earlier snapshots are gone (standard lakehouse behavior after
+        compaction/vacuum; retain longer by raising ``compact_every``)."""
+
+        def file_epoch(path: str) -> int:
+            stem = os.path.basename(path).rsplit(".", 1)[0]
+            return int(stem.split("-")[-1])
+
+        p = self.state["partitions"].get(str(part))
+        if not p:
+            return []
+        files = []
+        if p["base"]:
+            if file_epoch(p["base"]) > epoch:
+                raise ValueError(
+                    f"partition {part}: history before epoch {epoch} was "
+                    f"compacted into {os.path.basename(p['base'])} — "
+                    "snapshot no longer reconstructable"
+                )
+            files.append(p["base"])
+        files.extend(d for d in p["deltas"] if file_epoch(d) <= epoch)
+        return files
+
     # ------------------------------------------------------------- commits
     def commit_epoch(
         self,

@@ -369,3 +369,77 @@ class TestQuerySqlAndOrc:
 
         with pytest.raises(ValueError, match="invalid view name"):
             _run_slice("SELECT 1", {"bad-name; DROP": "/tmp/x.parquet"})
+
+
+# ----------------------------------------------------------- time travel
+@pytest.mark.usefixtures("ray_session")
+class TestTimeTravel:
+    def _lake(self, tmp_path, n=4000, epochs=4, compact_every=0):
+        from datax_ray.cdc.replay import replay_files
+        from datax_ray.sources.generators import (
+            ChangelogSpec,
+            write_changelog_parquet,
+        )
+
+        spec = ChangelogSpec(n_events=n, n_convs=60, max_turns=8,
+                             n_blocks=2, seed=23)
+        cl = str(tmp_path / "cl")
+        write_changelog_parquet(spec, cl)
+        lake = str(tmp_path / "lake")
+        replay_files(cl, lake_dir=lake, max_lsn_exclusive=n,
+                     num_partitions=4, epoch_size=n // epochs,
+                     compact_every=compact_every)
+        return cl, lake
+
+    def test_snapshot_equals_prefix_replay(self, tmp_path):
+        """State as of epoch e must equal a fresh replay of only the
+        epochs ≤ e."""
+        import duckdb
+
+        from datax_ray.sinks.lake import read_lake_table
+
+        cl, lake = self._lake(tmp_path)
+        for epoch, hi in ((0, 1000), (1, 2000), (2, 3000)):
+            got = read_lake_table(lake, as_of_epoch=epoch).to_pandas()
+            exp = duckdb.connect().execute(f"""
+                SELECT conv_id, turn_idx, role, text, tool, ts, lsn FROM (
+                  SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY ts DESC, lsn DESC) rn
+                  FROM read_parquet('{cl}/*.parquet') WHERE lsn < {hi})
+                WHERE rn = 1 AND op <> 'D'
+                ORDER BY conv_id, turn_idx
+            """).df()
+            got = got[exp.columns.tolist()].reset_index(drop=True)
+            got["ts"] = got["ts"].astype("datetime64[us]")
+            assert got.equals(exp), f"epoch {epoch} snapshot mismatch"
+
+    def test_full_read_unchanged(self, tmp_path):
+        from datax_ray.sinks.lake import read_lake_table
+
+        _, lake = self._lake(tmp_path)
+        cur = read_lake_table(lake)
+        asof_last = read_lake_table(lake, as_of_epoch=3)
+        assert cur.equals(asof_last)
+
+    def test_compacted_history_raises(self, tmp_path):
+        from datax_ray.sinks.lake import read_lake_table
+
+        _, lake = self._lake(tmp_path, compact_every=2)
+        with pytest.raises(ValueError, match="compacted"):
+            read_lake_table(lake, as_of_epoch=0)
+
+    def test_lake_reader_in_job_spec(self, tmp_path):
+        from datax_ray.cli import run_job
+
+        _, lake = self._lake(tmp_path)
+        out = str(tmp_path / "snap")
+        spec = {"job": {"content": {
+            "reader": {"name": "lake", "parameter": {
+                "path": lake, "asOfEpoch": 1}},
+            "writer": {"name": "parquet", "parameter": {
+                "path": out, "writeMode": "truncate"}},
+        }}}
+        rep = run_job(spec)
+        assert rep["ok"]
+        assert pq.read_table(out).num_rows > 0
