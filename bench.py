@@ -127,7 +127,12 @@ def run_bench() -> dict:
             lake_dir=lake,
             max_lsn_exclusive=spec.n_events,
             num_partitions=32,        # fixed across CPU levels for scaling
-            epoch_size=spec.n_events // 4,
+            # epoch size capped: the pipelined look-ahead window holds up
+            # to 4 epochs in flight, so epochs growing with total events
+            # would balloon object-store footprint at big soak/scaling
+            # workloads — epochs stay micro-batches, only their COUNT grows
+            epoch_size=min(spec.n_events // 4,
+                           int(os.environ.get("BENCH_EPOCH_SIZE", "16000000"))),
             compact_every=0,
         )
         secs = time.perf_counter() - t0

@@ -327,6 +327,10 @@ def main(argv=None) -> int:
                     help="resume a lake_upsert job from its manifest")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("-p", "--param", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="substitute ${KEY} variables in the job spec "
+                         "(DataX -p \"-Dkey=value\"); repeatable")
     args = ap.parse_args(argv)
 
     if args.status:
@@ -346,7 +350,13 @@ def main(argv=None) -> int:
         return 0
 
     with open(args.job) as f:
-        spec = json.load(f)
+        raw = f.read()
+    if args.param or "${" in raw:
+        from datax_ray.config import substitute_params
+
+        params = dict(kv.split("=", 1) for kv in args.param)
+        raw = substitute_params(raw, params)
+    spec = json.loads(raw)
 
     import ray
 

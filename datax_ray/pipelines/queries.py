@@ -458,6 +458,16 @@ def q_topk_orders(sf_dir: str):
                 descending=[True, False], k=10)
 
 
+def q_sample_hash(sf_dir: str):
+    """Deterministic Bernoulli-by-key sample (ops/sample.py): md5 mode
+    ONLY because the oracle reproduces the keep/drop decision in SQL —
+    pipelines use the vectorized siphash 'fast' mode."""
+    from datax_ray.ops.sample import hash_sample
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return hash_sample(ds, key_col="o_orderkey", fraction=0.1, mode="md5")
+
+
 def q_distinct_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -961,6 +971,9 @@ FROM s GROUP BY user_id, sid
         "SELECT o_orderkey, o_totalprice FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
     ),
+    "sample_hash": (
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '19999999'"
+    ),
     "distinct_counts": (
         "SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment"
     ),
@@ -1100,6 +1113,7 @@ QUERIES = {
     "events_sliding_agg": q_events_sliding_agg,
     "events_sessionize": q_events_sessionize,
     "topk_orders": q_topk_orders,
+    "sample_hash": q_sample_hash,
     "distinct_counts": q_distinct_counts,
     "join_orders_mktsegment": q_join_orders_mktsegment,
     "dedup_exact": q_dedup_exact,

@@ -4,6 +4,7 @@ must stay associative under arbitrary partitions of the input."""
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -125,6 +126,16 @@ def test_winnow_deterministic_and_bounded(texts):
     d2, f2 = winnow_batch(texts)
     assert (d1 == d2).all() and (f1 == f2).all()
     for i, t in enumerate(texts):
-        n = len(" ".join((t or "").lower().split()).encode())
+        # model the bound with the SAME normalization winnow_batch applies
+        # (Arrow RE2, ASCII \s) — Python str.split() collapses Unicode
+        # whitespace like U+00A0 that the canonical form deliberately keeps
+        norm = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(pa.array([t or ""])), r"\s+", " "
+            ),
+            r"^ | $",
+            "",
+        )[0].as_py()
+        n = len(norm.encode())
         n_grams = max(n - 8 + 1, 0)
         assert (d1 == i).sum() <= n_grams

@@ -443,3 +443,123 @@ class TestTimeTravel:
         rep = run_job(spec)
         assert rep["ok"]
         assert pq.read_table(out).num_rows > 0
+
+
+# ------------------------------------------ config path DSL + ${params}
+class TestConfigDsl:
+    def test_path_get(self):
+        from datax_ray.config import path_get
+
+        spec = {"job": {"content": {"transformer": [
+            {"name": "dx_substr"}, {"name": "dx_pad"}]}}}
+        assert path_get(spec, "job.content.transformer[1].name") == "dx_pad"
+        assert path_get(spec, "job.content.transformer[5].name", "x") == "x"
+        assert path_get(spec, "job.missing.deep", 42) == 42
+
+    def test_path_set_creates_intermediates(self):
+        from datax_ray.config import path_get, path_set
+
+        spec = {}
+        path_set(spec, "job.setting.speed.record", 1000)
+        path_set(spec, "job.content.transformer[1].name", "dx_pad")
+        assert spec["job"]["setting"]["speed"]["record"] == 1000
+        assert spec["job"]["content"]["transformer"][1]["name"] == "dx_pad"
+        assert path_get(spec, "job.content.transformer[0]") == {}
+
+    def test_substitute_params(self):
+        from datax_ray.config import substitute_params
+
+        raw = '{"path": "/data/${bizdate}/in", "n": ${n}}'
+        out = substitute_params(raw, {"bizdate": "20260817", "n": "5"})
+        assert out == '{"path": "/data/20260817/in", "n": 5}'
+
+    def test_substitute_missing_raises(self):
+        from datax_ray.config import substitute_params
+
+        with pytest.raises(KeyError, match="bizdate"):
+            substitute_params('{"p": "${bizdate}"}', {})
+
+    def test_cli_param_dry_run(self, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        src = tmp_path / "in.parquet"
+        pq.write_table(pa.table({"a": [1, 2]}), str(src))
+        job = tmp_path / "job.json"
+        job.write_text(json.dumps({"job": {"content": {
+            "reader": {"name": "parquet", "parameter": {"path": "${src}"}},
+            "writer": {"name": "stdout", "parameter": {}},
+        }}}).replace('"${src}"', '"${src}"'))
+        p = subprocess.run(
+            [sys.executable, "-m", "datax_ray.cli", str(job), "--dry-run",
+             "-p", f"src={src}"],
+            capture_output=True, text=True,
+        )
+        assert p.returncode == 0, p.stderr
+        assert json.loads(p.stdout.strip().splitlines()[-1])["ok"]
+
+
+# -------------------------------------------------------------- sampling
+@pytest.mark.usefixtures("ray_session")
+class TestSampling:
+    def test_hash_sample_fast_deterministic_and_sized(self):
+        import ray.data as rd
+
+        from datax_ray.ops.sample import hash_sample
+
+        t = pa.table({"k": pa.array(np.arange(20_000, dtype=np.int64))})
+        ds = rd.from_arrow(t).repartition(4)
+        a = hash_sample(ds, key_col="k", fraction=0.2).to_pandas()
+        b = hash_sample(ds, key_col="k", fraction=0.2).to_pandas()
+        assert a["k"].tolist() == b["k"].tolist()  # repeatable
+        assert 0.17 < len(a) / 20_000 < 0.23       # ≈ fraction
+        # subset property: a smaller fraction is a subset of a larger one
+        small = set(hash_sample(ds, key_col="k", fraction=0.05)
+                    .to_pandas()["k"])
+        assert small <= set(a["k"])
+
+    def test_hash_sample_md5_matches_duckdb(self):
+        import duckdb
+        import ray.data as rd
+
+        from datax_ray.ops.sample import hash_sample, md5_sample_sql_predicate
+
+        t = pa.table({"k": pa.array(np.arange(5000, dtype=np.int64))})
+        got = hash_sample(rd.from_arrow(t), key_col="k", fraction=0.1,
+                          mode="md5").to_pandas()["k"].tolist()
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.execute(
+            "SELECT k FROM t WHERE "
+            + md5_sample_sql_predicate("k", 0.1) + " ORDER BY k"
+        ).df()["k"].tolist()
+        assert sorted(got) == exp
+
+    def test_reservoir_sample_exact_k_and_uniformish(self):
+        import ray.data as rd
+
+        from datax_ray.ops.sample import reservoir_sample
+
+        t = pa.table({"k": pa.array(np.arange(10_000, dtype=np.int64))})
+        ds = rd.from_arrow(t).repartition(8)
+        s1 = reservoir_sample(ds, k=100, seed=1)
+        assert s1.num_rows == 100
+        assert len(set(s1["k"].to_pylist())) == 100
+        # deterministic per seed; different seeds differ
+        s1b = reservoir_sample(ds, k=100, seed=1)
+        s2 = reservoir_sample(ds, k=100, seed=2)
+        assert s1["k"].to_pylist() == s1b["k"].to_pylist()
+        assert s1["k"].to_pylist() != s2["k"].to_pylist()
+        # coverage across the whole range, not one block
+        vals = np.array(s1["k"].to_pylist())
+        assert vals.min() < 2000 and vals.max() > 8000
+
+    def test_reservoir_k_larger_than_input(self):
+        import ray.data as rd
+
+        from datax_ray.ops.sample import reservoir_sample
+
+        t = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+        s = reservoir_sample(rd.from_arrow(t), k=10)
+        assert sorted(s["k"].to_pylist()) == [1, 2, 3]
