@@ -73,6 +73,69 @@ def md5_sample_sql_predicate(key_expr: str, fraction: float) -> str:
     )
 
 
+def stratified_sample(ds, *, key_col: str, id_col: str, k: int,
+                      mode: str = "fast", seed: int = 0,
+                      num_partitions: int = 16):
+    """At most ``k`` rows per key — deterministic pseudo-random rank per
+    (key, id), combiner-first: each batch pre-prunes to its local top-k
+    per key before the one hash shuffle, then a vectorized
+    sort+boundary-mask pass keeps the global k smallest ranks per key.
+    The training-data use: cap any one source/domain/conversation's
+    contribution to a mixture.
+
+    ``mode='md5'`` ranks by ``md5(key || '|' || id)`` so DuckDB reproduces
+    the selection exactly (``row_number() OVER (PARTITION BY key ORDER BY
+    md5(...))``); ``mode='fast'`` is the vectorized siphash scale path
+    with identical distributional behavior."""
+    import pyarrow.compute as pc
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        if mode == "md5":
+            keys = t[key_col].to_pylist()
+            ids = t[id_col].to_pylist()
+            rank = pa.array(
+                [hashlib.md5(f"{a}|{b}".encode()).hexdigest()
+                 for a, b in zip(keys, ids)],
+                pa.string(),
+            )
+        else:
+            combo = pc.binary_join_element_wise(
+                pc.cast(t[key_col], pa.string()),
+                pc.cast(t[id_col], pa.string()), "|",
+            )
+            h = stable_hash(combo) + np.uint64(seed)
+            rank = pa.array(h, pa.uint64())
+        return t.append_column("_rank", rank)
+
+    def topk_per_key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        t = t.sort_by([(key_col, "ascending"), ("_rank", "ascending"),
+                       (id_col, "ascending")])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        starts = np.empty(len(keys), dtype=bool)
+        starts[0] = True
+        starts[1:] = keys[1:] != keys[:-1]
+        run_id = np.cumsum(starts) - 1
+        run_start = np.flatnonzero(starts)
+        pos = np.arange(len(keys)) - run_start[run_id]
+        return t.filter(pa.array(pos < k))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = topk_per_key(add_rank(t))  # combiner: batch-local prune
+        part = (stable_hash(t[key_col]) % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    def fold(g: pa.Table) -> pa.Table:
+        return topk_per_key(g).drop_columns(["_part", "_rank"])
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
 def reservoir_sample(ds, *, k: int, seed: int = 0):
     """Uniform fixed-k sample without materializing the dataset. Each
     block draws a seeded uniform key per row and keeps its local top-k;

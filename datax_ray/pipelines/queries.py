@@ -468,6 +468,16 @@ def q_sample_hash(sf_dir: str):
     return hash_sample(ds, key_col="o_orderkey", fraction=0.1, mode="md5")
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-key cap sample (≤3 orders per customer): md5 rank mode ONLY so
+    the oracle reproduces the exact selection; pipelines use 'fast'."""
+    from datax_ray.ops.sample import stratified_sample
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    return stratified_sample(ds, key_col="o_custkey", id_col="o_orderkey",
+                             k=3, mode="md5")
+
+
 def q_distinct_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -974,6 +984,14 @@ FROM s GROUP BY user_id, sid
     "sample_hash": (
         "SELECT o_orderkey, o_totalprice FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '19999999'"
     ),
+    "stratified_sample": """
+SELECT o_custkey, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey, row_number() OVER (
+    PARTITION BY o_custkey
+    ORDER BY md5(CAST(o_custkey AS VARCHAR) || '|' ||
+                 CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+""".strip(),
     "distinct_counts": (
         "SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment"
     ),
@@ -1114,6 +1132,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "topk_orders": q_topk_orders,
     "sample_hash": q_sample_hash,
+    "stratified_sample": q_stratified_sample,
     "distinct_counts": q_distinct_counts,
     "join_orders_mktsegment": q_join_orders_mktsegment,
     "dedup_exact": q_dedup_exact,

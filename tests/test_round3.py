@@ -563,3 +563,55 @@ class TestSampling:
         t = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
         s = reservoir_sample(rd.from_arrow(t), k=10)
         assert sorted(s["k"].to_pylist()) == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStratifiedSample:
+    def test_caps_per_key_and_deterministic(self):
+        import ray.data as rd
+
+        from datax_ray.ops.sample import stratified_sample
+
+        rng = np.random.default_rng(7)
+        n = 20_000
+        t = pa.table({
+            "key": pa.array(rng.integers(0, 200, n).astype(np.int64)),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+        })
+        ds = rd.from_arrow(t).repartition(8)
+        a = stratified_sample(ds, key_col="key", id_col="id", k=5).to_pandas()
+        b = stratified_sample(ds, key_col="key", id_col="id", k=5).to_pandas()
+        assert sorted(a["id"]) == sorted(b["id"])      # deterministic
+        per_key = a.groupby("key").size()
+        assert per_key.max() <= 5
+        assert len(per_key) == 200                     # every key kept
+        # keys with ≥5 rows are capped at exactly 5
+        full = t.to_pandas().groupby("key").size()
+        for key in full[full >= 5].index[:20]:
+            assert per_key[key] == 5
+
+    def test_md5_mode_matches_duckdb(self):
+        import duckdb
+        import ray.data as rd
+
+        from datax_ray.ops.sample import stratified_sample
+
+        rng = np.random.default_rng(8)
+        t = pa.table({
+            "key": pa.array(rng.integers(0, 50, 2000).astype(np.int64)),
+            "id": pa.array(np.arange(2000, dtype=np.int64)),
+        })
+        got = stratified_sample(rd.from_arrow(t).repartition(4),
+                                key_col="key", id_col="id", k=2,
+                                mode="md5").to_pandas()
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.execute("""
+            SELECT key, id FROM (
+              SELECT key, id, row_number() OVER (PARTITION BY key
+                ORDER BY md5(CAST(key AS VARCHAR) || '|' ||
+                             CAST(id AS VARCHAR)), id) rn
+              FROM t) WHERE rn <= 2 ORDER BY key, id
+        """).df()
+        got = got.sort_values(["key", "id"]).reset_index(drop=True)
+        assert got.equals(exp)
