@@ -49,14 +49,15 @@ def _rd():
     return rd
 
 
-def _read(sf_dir: str, table: str, columns=None, filter=None, num_blocks=None):
+def _read(sf_dir: str, table: str, columns=None, filter=None, num_blocks=8):
     # explicit metadata-free schema: stray pandas metadata in the testdata
     # footers defeats Ray's block-schema hashing (worker "Failed to hash
     # the schemas" warnings) and bloats every block's schema payload.
-    # num_blocks: the testdata tables are single parquet files → ONE input
-    # block, which serializes every downstream stage of a multi-stage
-    # pipeline; real corpora arrive in many files/row-groups, so an
-    # explicit split here just restores the normal execution shape
+    # num_blocks (default 8): the testdata tables are single-row-group
+    # single parquet files → ONE input block, which serializes EVERY
+    # downstream stage (measured 3× on the merge queries); real corpora
+    # arrive in many files/row-groups, so the explicit split just
+    # restores the normal execution shape
     path = os.path.join(sf_dir, f"{table}.parquet")
     schema = pq.read_schema(path).remove_metadata()
     if columns:
