@@ -609,6 +609,53 @@ def _media_read(name: str, n_blocks: int):
                               override_num_blocks=n_blocks)
 
 
+_NDUP_N = 256
+_NDUP_T = 0.40
+
+
+def q_embedding_neardup_exact(sf_dir: str):
+    """Exact all-pairs cosine near-dup on a bounded id slice — the
+    brute-force baseline the LSH path approximates (and the oracle for
+    the cosine math itself). The slice matrix is broadcast once
+    (ray.put); each batch emits only its own ids' pairs (id_a < id_b), so
+    every pair surfaces exactly once with no shuffle."""
+    import ray
+
+    from datax_ray.ops.similarity import _as_matrix, _unit
+
+    qtab = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"], filters=[("vec_id", "<", _NDUP_N)],
+    )
+    all_ids = np.asarray(qtab["vec_id"])
+    all_unit = _unit(_as_matrix(qtab["embedding"]))
+    ref = ray.put((all_ids, all_unit))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        ids_b, unit_all = ray.get(ref)
+        my_ids = np.asarray(t["vec_id"])
+        my_unit = _unit(_as_matrix(t["embedding"]))
+        cos = np.round(my_unit @ unit_all.T, 6)
+        ia, ib = np.nonzero((my_ids[:, None] < ids_b[None, :])
+                            & (cos >= _NDUP_T))
+        if len(ia) == 0:
+            return empty
+        return pa.table(
+            {"id_a": pa.array(my_ids[ia]), "id_b": pa.array(ids_b[ib]),
+             "cosine": pa.array(cos[ia, ib])}
+        )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+               filter=pc.field("vec_id") < _NDUP_N)
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
 def q_multimodal_features(sf_dir: str):
     """Image actor-pool stage over the deterministic fixture parquet.
     The feature vectors themselves are non-SQL (stub codec) — the oracled
@@ -1093,6 +1140,16 @@ SELECT media_id, frame_idx,
        CAST(floor(frame_idx * 1000.0 / fps) AS BIGINT) AS ts_ms
 FROM f
 """.strip().format(d=_MEDIA_DIR),
+    "embedding_neardup_exact": f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < {_NDUP_N} AND b.vec_id < {_NDUP_N}
+  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6)
+      >= {_NDUP_T}
+""".strip(),
     "knn_bruteforce": f"""
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id < {_KNN_Q}),
@@ -1146,6 +1203,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_exact": q_embedding_neardup_exact,
     "multimodal_features": q_multimodal_features,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_frames": q_multimodal_frames,
