@@ -388,14 +388,26 @@ def q_agg_pricing_summary(sf_dir: str):
             }
         )
 
+    def combine(t: pa.Table) -> pa.Table:
+        # batch-level partial aggregation: ≤ |groups| rows leave each
+        # batch, so the groupby shuffles combiner output, not the table
+        g = prep(t).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_cents", "sum"),
+             ("disc_cents", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus",
+             "qty_sum", "base_sum", "disc_sum", "n"]
+        )
+
     out = (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("base_cents", alias_name="sum_base_cents"),
-            Sum("disc_cents", alias_name="sum_disc_cents"),
-            Count(alias_name="count_order"),
+            Sum("qty_sum", alias_name="sum_qty"),
+            Sum("base_sum", alias_name="sum_base_cents"),
+            Sum("disc_sum", alias_name="sum_disc_cents"),
+            Sum("n", alias_name="count_order"),
         )
     )
 
@@ -525,6 +537,24 @@ def q_text_quality(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def q_quality_filter(sf_dir: str):
+    """The canonical curation pipeline: score every document, keep ones
+    passing quality thresholds (enough alphabetic text, sane punctuation,
+    some stopwords — i.e. prose, not boilerplate)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = add_quality(t)
+        m = pc.and_(
+            pc.and_(pc.less(t["punct_ratio"], 0.1),
+                    pc.greater(t["stopword_ratio"], 0.05)),
+            pc.less(t["mean_token_len"], 12.0),
+        )
+        return t.filter(m).select(["doc_id", "text"])
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_text_langid(sf_dir: str):
@@ -1076,6 +1106,22 @@ SELECT doc_id,
         AS mean_token_len
 FROM documents
 """.strip(),
+    "quality_filter": """
+WITH q AS (
+  SELECT doc_id, text,
+    round(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))
+          / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
+    round(len(regexp_extract_all(lower(text),
+          '\\b(the|and|of|to|in|is|that|for|with)\\b'))
+          / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0), 6)
+          AS stopword_ratio,
+    round(CAST(length(text) AS DOUBLE)
+          / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0), 6)
+          AS mean_token_len
+  FROM documents)
+SELECT doc_id, text FROM q
+WHERE punct_ratio < 0.1 AND stopword_ratio > 0.05 AND mean_token_len < 12.0
+""".strip(),
     "text_langid": r"""
 WITH c AS (
   SELECT doc_id,
@@ -1196,6 +1242,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
+    "quality_filter": q_quality_filter,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_winnow": q_text_winnow,
