@@ -513,6 +513,31 @@ def q_join_orders_mktsegment(sf_dir: str):
     return broadcast_join(orders, cust, on="o_custkey", how="inner")
 
 
+def _building_custkeys(sf_dir: str):
+    t = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                      columns=["c_custkey", "c_mktsegment"])
+    return t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))["c_custkey"]
+
+
+def q_semi_join_orders(sf_dir: str):
+    """Broadcast semi-join: orders whose customer is in the BUILDING
+    segment — the key set ships once via ray.put, each batch filters with
+    one vectorized is_in."""
+    from datax_ray.ops.joins import semi_filter
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return semi_filter(ds, _building_custkeys(sf_dir), on="o_custkey")
+
+
+def q_anti_join_orders(sf_dir: str):
+    """Broadcast anti-join: orders from customers OUTSIDE the BUILDING
+    segment (same shipped-once key set, inverted membership)."""
+    from datax_ray.ops.joins import anti_filter
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return anti_filter(ds, _building_custkeys(sf_dir), on="o_custkey")
+
+
 # -------------------------------------------------------- dedup / text / sim
 def q_dedup_exact(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1077,6 +1102,14 @@ SELECT o_custkey, o_orderkey FROM (
         "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
         "JOIN customer ON o_custkey = c_custkey"
     ),
+    "semi_join_orders": (
+        "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+    ),
+    "anti_join_orders": (
+        "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey NOT IN "
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+    ),
     "dedup_exact": """
 WITH fp AS (
   SELECT doc_id, text,
@@ -1239,6 +1272,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "distinct_counts": q_distinct_counts,
     "join_orders_mktsegment": q_join_orders_mktsegment,
+    "semi_join_orders": q_semi_join_orders,
+    "anti_join_orders": q_anti_join_orders,
     "dedup_exact": q_dedup_exact,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
