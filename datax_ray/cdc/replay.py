@@ -390,14 +390,26 @@ def replay_files(
             i += 1
 
     executed: list[tuple[int, int]] = []
+    dirty_run = 0  # cumulative; each range scanned ONCE (counts immutable)
     submit_more()
     while inflight:
         epoch, lo, hi, reduces = inflight.popleft()
         t0 = time.perf_counter()
         metrics_rows = [r for r in ray.get(list(reduces)) if r is not None]
         wall = time.perf_counter() - t0
-        manifest.commit_epoch(epoch, lo, hi, metrics_rows, wall)
         ev = sum(int(r["events"]) for r in metrics_rows)
+        if error_limit is not None and dead_letter_dir:
+            # mid-run budget, evaluated BEFORE this epoch's commit: the
+            # epoch's dead-letter files are fully written once its reduces
+            # resolve, so a breach stops the job with the offending epoch
+            # still unpublished (already-committed epochs stay —
+            # exactly-once holds). Incremental: only the NEWLY executed
+            # range is scanned; earlier ranges' counts are immutable.
+            dirty_run += dead_letter_rows_for_ranges(
+                dead_letter_dir, [(lo, hi)]
+            )
+            error_limit.check(dirty_run, run_events + ev + dirty_run)
+        manifest.commit_epoch(epoch, lo, hi, metrics_rows, wall)
         run_events += ev
         n_run += 1
         executed.append((lo, hi))
@@ -408,12 +420,6 @@ def replay_files(
                 file=sys.stderr,
             )
         _maybe_compact(manifest, lake_dir, epoch, compact_every)
-        if error_limit is not None and dead_letter_dir:
-            # mid-run budget: dirty rows from epochs executed SO FAR this
-            # run; raising here stops the job before remaining epochs
-            # publish (already-committed epochs stay — exactly-once holds)
-            dirty = dead_letter_rows_for_ranges(dead_letter_dir, executed)
-            error_limit.check(dirty, run_events + dirty)
         if bucket is not None:
             bucket.acquire(ev)
         if byte_bucket is not None:

@@ -351,7 +351,7 @@ def main(argv=None) -> int:
 
     with open(args.job) as f:
         raw = f.read()
-    if args.param or "${" in raw:
+    if args.param:  # only when -p given: a literal ${...} in data is fine
         from datax_ray.config import substitute_params
 
         params = dict(kv.split("=", 1) for kv in args.param)

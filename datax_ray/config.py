@@ -81,11 +81,13 @@ def path_set(obj: Any, path: str, value: Any) -> Any:
 
 
 def substitute_params(text: str, params: dict[str, str],
-                      strict: bool = True) -> str:
+                      strict: bool = False) -> str:
     """Replace ``${key}`` holes in a raw job-spec string with ``-p``
-    parameters — DataX's variable substitution. Unknown keys raise when
-    ``strict`` (a job with an unfilled hole is a config error the
-    reference also rejects at parse time)."""
+    parameters — DataX's variable substitution. Unknown keys are left as
+    literal ``${key}`` text (warned), matching the reference's
+    ``StrUtil.replaceVariable`` which never rejects at parse time — a job
+    spec may legitimately carry ``${...}`` in DATA (e.g. a dx_replace
+    replacement string). Pass ``strict=True`` to fail instead."""
     missing: set[str] = set()
 
     def repl(m: re.Match) -> str:
@@ -96,9 +98,17 @@ def substitute_params(text: str, params: dict[str, str],
         return m.group(0)
 
     out = _VAR.sub(repl, text)
-    if strict and missing:
-        raise KeyError(
-            f"job spec has unfilled ${{...}} variables: {sorted(missing)}; "
-            "pass them with -p key=value"
+    if missing:
+        if strict:
+            raise KeyError(
+                f"job spec has unfilled ${{...}} variables: {sorted(missing)}; "
+                "pass them with -p key=value"
+            )
+        import warnings
+
+        warnings.warn(
+            f"job spec has unfilled ${{...}} variables left as literal text: "
+            f"{sorted(missing)}",
+            stacklevel=2,
         )
     return out

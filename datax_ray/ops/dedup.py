@@ -169,6 +169,9 @@ def simhash_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
         order = np.argsort(ids)
         ids, sh = ids[order], sh[order]
         ia, ib = _bucket_pair_indices(len(ids), bucket_cap)
+        nonself = ids[ia] != ids[ib]  # guard duplicate doc_ids
+        if not nonself.all():
+            ia, ib = ia[nonself], ib[nonself]
         x = sh[ia] ^ sh[ib]
         ham = np.zeros(len(x), dtype=np.int64)
         for _ in range(64):  # popcount via vectorized bit-clear loop
@@ -266,6 +269,12 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
             return empty
         ids = np.sort(np.asarray(g[id_col]))
         ia, ib = _bucket_pair_indices(len(ids), bucket_cap)
+        # duplicate doc_ids in the input would otherwise emit (a, a)
+        # self-pairs, whose two identical endpoint requests dedupe to ONE
+        # attach row and silently shift the even/odd pairing in est_fold
+        nonself = ids[ia] != ids[ib]
+        if not nonself.all():
+            ia, ib = ia[nonself], ib[nonself]
         return pa.table({"id_a": pa.array(ids[ia]), "id_b": pa.array(ids[ib])})
 
     cand = (
@@ -386,6 +395,13 @@ def _verify_sig_pairs(sig_ds, pairs_ds, *, threshold: float, num_perm: int,
         )
         if g.num_rows == 0:
             return empty
+        # the even/odd split below REQUIRES exactly two attached rows per
+        # pair; fail loudly rather than mispair if that invariant breaks
+        if g.num_rows % 2 != 0:
+            raise AssertionError(
+                "est_fold: odd attached-row count — a candidate pair lost "
+                "an endpoint (duplicate doc_ids upstream?)"
+            )
         ka = np.asarray(g["key_a"])
         kb = np.asarray(g["key_b"])
         order = np.lexsort((kb, ka))
@@ -503,6 +519,9 @@ def embedding_neardup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "ve
         # cosine only on the candidate index pairs (capped) — never the
         # full O(n²·d) bucket gram matrix
         ia, ib = _bucket_pair_indices(len(ids), bucket_cap)
+        nonself = ids[ia] != ids[ib]  # guard duplicate vec_ids
+        if not nonself.all():
+            ia, ib = ia[nonself], ib[nonself]
         cs = np.einsum("ij,ij->i", unit[ia], unit[ib])
         keep = cs >= threshold
         if not keep.any():

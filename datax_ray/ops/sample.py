@@ -46,6 +46,14 @@ def hash_sample(ds, *, key_col: str, fraction: float, seed: int = 0,
     """Deterministic Bernoulli-by-key sample of ``fraction`` of rows."""
     if not (0.0 <= fraction <= 1.0):
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    # fraction 1.0 would format as the 9-char '100000000', and lexicographic
+    # comparison vs 8-char hex prefixes would keep only ~6% of rows — the
+    # boundary fractions short-circuit instead of hitting the hash at all
+    if fraction >= 1.0:
+        return ds
+    if fraction <= 0.0:
+        return ds.map_batches(lambda t: t.slice(0, 0),
+                              batch_format="pyarrow", zero_copy_batch=True)
     thresh_hex = format(int(fraction * _MD5_SPACE), "08x")
 
     def pick(t: pa.Table) -> pa.Table:
@@ -67,6 +75,10 @@ def hash_sample(ds, *, key_col: str, fraction: float, seed: int = 0,
 def md5_sample_sql_predicate(key_expr: str, fraction: float) -> str:
     """The DuckDB predicate matching ``hash_sample(mode='md5')`` — e.g.
     ``WHERE {md5_sample_sql_predicate('o_orderkey', 0.1)}``."""
+    if fraction >= 1.0:  # same boundary short-circuits as hash_sample
+        return "TRUE"
+    if fraction <= 0.0:
+        return "FALSE"
     thresh_hex = format(int(fraction * _MD5_SPACE), "08x")
     return (
         f"substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8) < '{thresh_hex}'"

@@ -395,10 +395,13 @@ def q_agg_pricing_summary(sf_dir: str):
             [("qty", "sum"), ("base_cents", "sum"),
              ("disc_cents", "sum"), ("qty", "count")]
         )
-        return g.rename_columns(
-            ["l_returnflag", "l_linestatus",
-             "qty_sum", "base_sum", "disc_sum", "n"]
-        )
+        # rename by NAME, not position: pyarrow's aggregate column order
+        # (keys-first vs aggregates-first) varies across versions
+        out_names = {"qty_sum": "qty_sum", "base_cents_sum": "base_sum",
+                     "disc_cents_sum": "disc_sum", "qty_count": "n"}
+        g = g.rename_columns([out_names.get(c, c) for c in g.column_names])
+        return g.select(["l_returnflag", "l_linestatus",
+                         "qty_sum", "base_sum", "disc_sum", "n"])
 
     out = (
         ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)

@@ -116,9 +116,10 @@ class TestResumeDeadLetterBudget:
         assert dead_letter_rows_for_ranges(dl, res.executed_ranges) == 10
 
     def test_error_budget_aborts_mid_run(self, tmp_path):
-        """Over-budget stops BEFORE publishing remaining epochs: with the
-        bad rows all in epoch 0 and record=0, the manifest must end with
-        only a prefix of epochs committed, not the full plan."""
+        """Over-budget stops BEFORE publishing the offending epoch: with
+        the bad rows all in epoch 0 and record=0, the breach is detected
+        from epoch 0's dead-letter files before its commit, so the
+        manifest must NOT contain epoch 0 (nor anything after it)."""
         from datax_ray.cdc.replay import replay_files
         from datax_ray.state.manifest import Manifest
         from datax_ray.transforms import ErrorLimit, ErrorLimitExceeded
@@ -131,7 +132,7 @@ class TestResumeDeadLetterBudget:
                          num_partitions=4, epoch_size=200, compact_every=0,
                          dead_letter_dir=dl, error_limit=ErrorLimit(record=0))
         committed = Manifest.load(lake).committed_epochs()
-        assert committed, "the offending epoch itself was already committed"
+        assert 0 not in committed, "offending epoch must not publish"
         assert len(committed) < 10, "remaining epochs must NOT have published"
 
 
@@ -473,11 +474,16 @@ class TestConfigDsl:
         out = substitute_params(raw, {"bizdate": "20260817", "n": "5"})
         assert out == '{"path": "/data/20260817/in", "n": 5}'
 
-    def test_substitute_missing_raises(self):
+    def test_substitute_missing_left_literal(self):
+        # reference contract (StrUtil.replaceVariable): unfilled ${...}
+        # stays literal — a ${...} occurrence in DATA must not kill the job
         from datax_ray.config import substitute_params
 
+        with pytest.warns(UserWarning, match="bizdate"):
+            out = substitute_params('{"p": "${bizdate}"}', {})
+        assert out == '{"p": "${bizdate}"}'
         with pytest.raises(KeyError, match="bizdate"):
-            substitute_params('{"p": "${bizdate}"}', {})
+            substitute_params('{"p": "${bizdate}"}', {}, strict=True)
 
     def test_cli_param_dry_run(self, tmp_path):
         import json
