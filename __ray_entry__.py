@@ -38,13 +38,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (same tables, same column
     names, same rounding). The multimodal oracles read the deterministic
-    media fixture parquet (written here so the oracle side can run before
-    the query side). Keys absent (minhash_lsh_pairs, simhash_pairs,
-    embedding_neardup) are genuinely non-SQL-expressible LSH pipelines —
-    the driver records rows-only checks for them; pytest covers their
-    semantics."""
+    media fixture parquet, and the LSH oracles read the engine-signature
+    fixture for sf0.01 (both written here so the oracle side can run
+    before the query side)."""
+    from datax_ray.ops.lsh_fixture import (
+        ensure_lsh_fixture,
+        ensure_planes_fixture,
+    )
     from datax_ray.ops.multimodal import ensure_media_fixture
     from datax_ray.pipelines.queries import ORACLES
 
     ensure_media_fixture()
+    ensure_lsh_fixture("/root/testdata/sf0.01")  # driver compares at sf0.01
+    ensure_planes_fixture()
     return dict(ORACLES)

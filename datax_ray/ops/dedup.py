@@ -476,9 +476,14 @@ def embedding_neardup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "ve
     """Near-dup pairs by cosine ≥ threshold: sign-LSH random-hyperplane
     buckets, exact cosine inside buckets. Pairs in different buckets are
     missed with probability (1 - θ/π)^n_bits — the standard LSH recall
-    tradeoff; raise n_bits or use multiple tables for higher recall."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
+    tradeoff; raise n_bits or use multiple tables for higher recall.
+
+    Hyperplanes come from ``ops.lsh_fixture.lsh_planes`` (float64) and the
+    dot products run in float64 so DuckDB's ``list_inner_product`` over the
+    planes fixture reproduces the sign decisions — the oracle bridge."""
+    from datax_ray.ops.lsh_fixture import lsh_planes
+
+    planes = lsh_planes(dim, n_bits, seed)
 
     def bucket(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -489,7 +494,7 @@ def embedding_neardup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "ve
             )
         from datax_ray.ops.similarity import _as_matrix
 
-        vecs = _as_matrix(t[vec_col]).astype(np.float32)
+        vecs = _as_matrix(t[vec_col])
         signs = (vecs @ planes) > 0
         code = (signs.astype(np.uint32) << np.arange(n_bits, dtype=np.uint32)).sum(axis=1)
         return pa.table(
@@ -522,13 +527,15 @@ def embedding_neardup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "ve
         nonself = ids[ia] != ids[ib]  # guard duplicate vec_ids
         if not nonself.all():
             ia, ib = ia[nonself], ib[nonself]
-        cs = np.einsum("ij,ij->i", unit[ia], unit[ib])
+        # round BEFORE the threshold compare — identical boundary behavior
+        # to the exact all-pairs baseline and the SQL oracle
+        cs = np.round(np.einsum("ij,ij->i", unit[ia], unit[ib]), 6)
         keep = cs >= threshold
         if not keep.any():
             return empty
         return pa.table(
             {"id_a": pa.array(ids[ia[keep]]), "id_b": pa.array(ids[ib[keep]]),
-             "cosine": pa.array(np.round(cs[keep], 6))}
+             "cosine": pa.array(cs[keep])}
         )
 
     return (

@@ -29,6 +29,13 @@ from datax_ray.ops.dedup import (
     simhash_candidates,
 )
 from datax_ray.ops.joins import broadcast_join
+from datax_ray.ops.lsh_fixture import (
+    MINHASH_PARAMS as _MH,
+    NEARDUP_PARAMS as _ND,
+    SIMHASH_MAX_HAMMING as _SH_HAM,
+    lsh_fixture_dir as _lsh_fixture_dir,
+    planes_fixture_path as _planes_path,
+)
 from datax_ray.ops.multimodal import MEDIA_FIXTURE_DIR as _MEDIA_DIR
 from datax_ray.ops.similarity import knn_bruteforce
 from datax_ray.ops.text import (
@@ -634,25 +641,43 @@ def q_knn_bruteforce(sf_dir: str):
     return knn_bruteforce(ds, qids, qmat, k=_KNN_K)
 
 
-# rows-only (non-SQL-expressible) pipelines -------------------------------
+# LSH pipelines — oracled via engine-signature fixtures (ops/lsh_fixture):
+# the query runs the FULL text→signature→band→bucket→verify pipeline over
+# sf documents; the oracle replays band→bucket→pair→verify in SQL over the
+# fixture parquet holding the same deterministic signatures. The raw
+# signature kernels stay pytest-covered (they're not SQL-expressible).
 def q_minhash_lsh_pairs(sf_dir: str):
+    from datax_ray.ops.lsh_fixture import MINHASH_PARAMS, ensure_lsh_fixture
+
+    ensure_lsh_fixture(sf_dir)  # for the oracle side; marker-cached
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=8)
-    return minhash_lsh_candidates(ds, num_perm=64, bands=16, shingle_k=3,
-                                  threshold=0.5)
+    p = MINHASH_PARAMS
+    return minhash_lsh_candidates(
+        ds, num_perm=p["num_perm"], bands=p["bands"],
+        shingle_k=p["shingle_k"], threshold=p["threshold"], seed=p["seed"],
+    )
 
 
 def q_simhash_pairs(sf_dir: str):
+    from datax_ray.ops.lsh_fixture import SIMHASH_MAX_HAMMING, ensure_lsh_fixture
+
+    ensure_lsh_fixture(sf_dir)
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=8)
-    return simhash_candidates(ds, max_hamming=6)
+    return simhash_candidates(ds, max_hamming=SIMHASH_MAX_HAMMING)
 
 
 def q_embedding_neardup(sf_dir: str):
     # threshold sits inside the data's actual cosine range (synthetic
     # embeddings top out ~0.51 pairwise) so the LSH+verify path is
     # exercised non-degenerately; n_bits low → decent recall at this θ
+    from datax_ray.ops.lsh_fixture import NEARDUP_PARAMS, ensure_planes_fixture
+
+    ensure_planes_fixture()  # hyperplane table for the oracle side
+    p = NEARDUP_PARAMS
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
                num_blocks=8)
-    return embedding_neardup_pairs(ds, dim=64, n_bits=3, threshold=0.40)
+    return embedding_neardup_pairs(ds, dim=p["dim"], n_bits=p["n_bits"],
+                                   threshold=p["threshold"], seed=p["seed"])
 
 
 def _media_read(name: str, n_blocks: int):
@@ -1243,6 +1268,71 @@ r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS r
 SELECT qid AS query_id, nid AS neighbor_id, cos AS cosine, rk AS "rank"
 FROM r WHERE rk <= {_KNN_K}
 """.strip(),
+    # LSH oracles: band→bucket→pair→verify replayed in SQL over the
+    # engine-signature fixture parquet for the driver's sf0.01 (the query
+    # side ensures the fixture for whatever sf it runs at — see
+    # ops/lsh_fixture.py docstring). The engine groups buckets by an FNV
+    # fold of each band's {_MH_ROWS}-value segment; the SQL groups by the
+    # segment VALUES themselves — identical co-membership modulo a 2^-64
+    # hash collision. est ≥ threshold is the integer test matches ≥
+    # {_MH_MINM} (exact; est = matches/{_MH_NP} has no rounding slack).
+    "minhash_lsh_pairs": """
+WITH s AS (SELECT doc_id, sig
+           FROM read_parquet('{d}/minhash_sigs.parquet')),
+bands AS (
+  SELECT doc_id, b.b AS band,
+         list_slice(sig, b.b*{rows}+1, b.b*{rows}+{rows}) AS key
+  FROM s CROSS JOIN (SELECT unnest(range({bands})) AS b) b),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
+m AS (
+  SELECT p.id_a, p.id_b,
+    list_sum(list_transform(range(1, {np} + 1),
+      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS matches
+  FROM pairs p JOIN s sa ON sa.doc_id = p.id_a
+               JOIN s sb ON sb.doc_id = p.id_b)
+SELECT id_a, id_b, round(matches / {np}.0, 6) AS est_jaccard
+FROM m WHERE matches >= {minm}
+""".strip().format(
+        d=_lsh_fixture_dir("/root/testdata/sf0.01"),
+        rows=_MH["num_perm"] // _MH["bands"], bands=_MH["bands"],
+        np=_MH["num_perm"],
+        minm=int(round(_MH["threshold"] * _MH["num_perm"])),
+    ),
+    "simhash_pairs": """
+WITH s AS (SELECT doc_id, simhash
+           FROM read_parquet('{d}/simhash.parquet')),
+bands AS (
+  SELECT doc_id, simhash, b.b AS band,
+         (simhash >> (16 * b.b)) & 65535 AS bv
+  FROM s CROSS JOIN (SELECT unnest(range(4)) AS b) b)
+SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands c
+  ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
+WHERE bit_count(xor(a.simhash, c.simhash)) <= {maxham}
+""".strip().format(d=_lsh_fixture_dir("/root/testdata/sf0.01"),
+                   maxham=_SH_HAM),
+    "embedding_neardup": """
+WITH p AS (SELECT bit, plane FROM read_parquet('{planes}')),
+c AS (SELECT e.vec_id,
+        CAST(sum(CASE WHEN list_inner_product(
+                   CAST(e.embedding AS DOUBLE[]), p.plane) > 0
+             THEN 1 << p.bit ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN p GROUP BY e.vec_id)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a
+JOIN c ca ON ca.vec_id = a.vec_id
+JOIN embeddings b ON a.vec_id < b.vec_id
+JOIN c cb ON cb.vec_id = b.vec_id AND cb.bucket = ca.bucket
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6)
+      >= {thresh}
+""".strip().format(planes=_planes_path(), thresh=_ND["threshold"]),
 }
 
 QUERIES = {
