@@ -109,18 +109,32 @@ def knn_bruteforce(ds, query_ids: np.ndarray, query_matrix: np.ndarray, *, k: in
 def knn_ivf(ds, query_ids: np.ndarray, query_matrix: np.ndarray, *, k: int = 5,
             vec_col: str = "embedding", id_col: str = "vec_id",
             n_centroids: int = 16, n_probe: int = 4, seed: int = 5,
-            sample_size: int = 2048, digits: int = 6):
-    """IVF-style ANN: bucket vectors by nearest of ``n_centroids`` seeded
-    sample centroids; each query scans only its ``n_probe`` closest
-    buckets. One small sample pass + one bucketed shuffle."""
+            sample_size: int = 2048, digits: int = 6,
+            centroids: np.ndarray | None = None):
+    """IVF-style ANN: bucket vectors by nearest centroid; each query scans
+    only its ``n_probe`` closest buckets. One small sample pass (skipped
+    when explicit ``centroids`` are given) + one bucketed shuffle.
+
+    ``centroids`` (n_centroids, dim raw vectors) makes the index fully
+    deterministic and SQL-reproducible: assignment = argmax cosine rounded
+    to ``digits`` with ties to the LOWEST centroid index (stable sorts),
+    which DuckDB replays as ``ORDER BY round(cos, d) DESC, cidx``."""
     import ray
 
-    sample = ds.limit(sample_size).to_pandas()
-    base = _unit(np.stack(sample[vec_col].to_numpy()))
-    rng = np.random.default_rng(seed)
-    centroids = base[rng.choice(len(base), size=min(n_centroids, len(base)), replace=False)]
+    if centroids is None:
+        sample = ds.limit(sample_size).to_pandas()
+        base = _unit(np.stack(sample[vec_col].to_numpy()))
+        rng = np.random.default_rng(seed)
+        centroids = base[
+            rng.choice(len(base), size=min(n_centroids, len(base)),
+                       replace=False)
+        ]
+    else:
+        centroids = _unit(np.asarray(centroids, dtype=np.float64))
     q_unit = _unit(np.asarray(query_matrix, dtype=np.float64))
-    probe = np.argsort(-(q_unit @ centroids.T), axis=1)[:, :n_probe]
+    # probe order on ROUNDED similarity, stable sort → ties to lowest idx
+    qsim = np.round(q_unit @ centroids.T, digits)
+    probe = np.argsort(-qsim, axis=1, kind="stable")[:, :n_probe]
     cref = ray.put((centroids, np.asarray(query_ids), q_unit, probe))
 
     def assign(t: pa.Table) -> pa.Table:
@@ -128,7 +142,8 @@ def knn_ivf(ds, query_ids: np.ndarray, query_matrix: np.ndarray, *, k: int = 5,
             return t.append_column("_bucket", pa.array([], pa.int32()))
         cents, _, _, _ = ray.get(cref)
         vecs = _unit(_as_matrix(t[vec_col]))
-        bucket = np.argmax(vecs @ cents.T, axis=1).astype(np.int32)
+        sim = np.round(vecs @ cents.T, digits)
+        bucket = np.argmax(sim, axis=1).astype(np.int32)  # first max = low idx
         return t.append_column("_bucket", pa.array(bucket))
 
     def scan_bucket(g: pa.Table) -> pa.Table:

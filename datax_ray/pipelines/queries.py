@@ -641,6 +641,134 @@ def q_knn_bruteforce(sf_dir: str):
     return knn_bruteforce(ds, qids, qmat, k=_KNN_K)
 
 
+_IVF_NC = 16
+_IVF_NPROBE = 4
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF ANN with deterministic centroids (the vectors with vec_id <
+    _IVF_NC): assignment, probe order and in-bucket scan are all
+    closed-form over the embeddings table (rounded cosine, ties to the
+    lowest centroid index), so the oracle replays the whole index in SQL."""
+    from datax_ray.ops.similarity import knn_ivf
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qtab = pq.read_table(path, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", _KNN_Q)])
+    ctab = pq.read_table(path, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", _IVF_NC)]).sort_by("vec_id")
+    qids = np.asarray(qtab["vec_id"])
+    qmat = np.stack(qtab["embedding"].to_numpy(zero_copy_only=False))
+    cmat = np.stack(ctab["embedding"].to_numpy(zero_copy_only=False))
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_ivf(ds, qids, qmat, k=_KNN_K, n_probe=_IVF_NPROBE,
+                   centroids=cmat)
+
+
+_KLL_QS = (0.1, 0.25, 0.5, 0.75, 0.9)
+_KLL_EPS = 0.02  # KLL k=256 rank error ~1.7/k ≈ 0.0067; 3× headroom
+
+
+def q_sketch_quantiles(sf_dir: str):
+    """KLL quantile-sketch accuracy gate. The sketch's approx values are
+    compaction-randomized (deterministic per pipeline, but not SQL-
+    reproducible), so the STABLE output is the contract: for each q the
+    exact rank of the sketch's answer must sit within eps·n of q·n —
+    asserted in-pipeline with one extra vectorized counting pass; the
+    oracle states the bound (q, TRUE). A bound violation flips ok=false
+    and hash-mismatches."""
+    import ray
+
+    from datax_ray.ops.sketch import distributed_quantiles
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    approx = np.asarray(distributed_quantiles(ds, "o_totalprice",
+                                              list(_KLL_QS), k=256))
+    vref = ray.put(approx)
+
+    def count_le(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["o_totalprice"])
+        v = ray.get(vref)
+        le = (x[:, None] <= v[None, :]).sum(axis=0).astype(np.int64)
+        return pa.table(
+            {**{f"le_{i}": pa.array([le[i]]) for i in range(len(v))},
+             "n": pa.array([len(x)], pa.int64())}
+        )
+
+    cols = [f"le_{i}" for i in range(len(_KLL_QS))] + ["n"]
+    sums = _read(sf_dir, "orders", columns=["o_totalprice"]).map_batches(
+        count_le, batch_format="pyarrow", zero_copy_batch=True
+    ).sum(cols)
+    n = sums["sum(n)"]
+    ok = [
+        abs(sums[f"sum(le_{i})"] - q * n) <= _KLL_EPS * n
+        for i, q in enumerate(_KLL_QS)
+    ]
+    return pa.table({"q": pa.array(_KLL_QS, pa.float64()),
+                     "ok": pa.array(ok, pa.bool_())})
+
+
+def q_hll_distinct(sf_dir: str):
+    """HLL distinct-count accuracy gate: the one-pass zero-shuffle HLL
+    (p=12, σ≈1.6%) must land within 5% of the exact distinct count, which
+    the engine computes independently (groupby row count) and the oracle
+    recomputes in SQL — so the exact path is hash-checked AND the sketch
+    bound is enforced in-pipeline."""
+    from datax_ray.ops.sketch import distributed_distinct_count
+
+    est = distributed_distinct_count(
+        _read(sf_dir, "events", columns=["user_id"]), "user_id", p=12
+    )
+    exact = (
+        _read(sf_dir, "events", columns=["user_id"])
+        .groupby("user_id").count().count()
+    )
+    ok = abs(est - exact) <= 0.05 * exact
+    return pa.table({"col": pa.array(["user_id"], pa.string()),
+                     "n_distinct": pa.array([exact], pa.int64()),
+                     "ok": pa.array([ok], pa.bool_())})
+
+
+_RSV_K = 100
+
+
+def q_reservoir_sample(sf_dir: str):
+    """Fixed-k uniform reservoir sample gate. The selection depends on
+    block content (seeded per-block keys), so it is not SQL-reproducible;
+    the oracled contract is: exactly k rows, all distinct, all present in
+    the source key set (membership checked against the small key column
+    here; at scale this check is the broadcast semi-join,
+    ops/joins.semi_filter)."""
+    from datax_ray.ops.sample import reservoir_sample
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey"])
+    t = reservoir_sample(ds, k=_RSV_K, seed=4)
+    keys = np.asarray(t["o_orderkey"]) if t is not None else np.array([])
+    src = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_orderkey"])["o_orderkey"]
+    ok = (
+        len(keys) == _RSV_K
+        and len(np.unique(keys)) == _RSV_K
+        and bool(np.isin(keys, np.asarray(src)).all())
+    )
+    return pa.table({"k": pa.array([_RSV_K], pa.int64()),
+                     "n": pa.array([len(keys)], pa.int64()),
+                     "ok": pa.array([ok], pa.bool_())})
+
+
+def q_connected_components(sf_dir: str):
+    """Distributed min-label connected components (pointer-jumping label
+    propagation, ops/dedup.py:connected_components_distributed) over the
+    exact near-dup pair set — the 'keep one per near-dup cluster'
+    primitive. Oracle: DuckDB WITH RECURSIVE transitive closure, component
+    = min reachable id."""
+    from datax_ray.ops.dedup import connected_components_distributed
+
+    return connected_components_distributed(
+        q_embedding_neardup_exact(sf_dir), num_partitions=8
+    )
+
+
 # LSH pipelines — oracled via engine-signature fixtures (ops/lsh_fixture):
 # the query runs the FULL text→signature→band→bucket→verify pipeline over
 # sf documents; the oracle replays band→bucket→pair→verify in SQL over the
@@ -917,6 +1045,19 @@ _CELLS_CTE = """
    SELECT conv_id, turn_idx, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
           ts, lsn, 'DR'
    FROM changelog WHERE op = 'D')"""
+
+#: exact all-pairs near-dup SQL — shared by embedding_neardup_exact and the
+#: connected_components oracle (whose edges are exactly this pair set)
+_NDUP_EXACT_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < {_NDUP_N} AND b.vec_id < {_NDUP_N}
+  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6)
+      >= {_NDUP_T}
+""".strip()
 
 ORACLES: dict[str, str] = {
     "cdc_lww_merge": _fold_sql(),
@@ -1247,15 +1388,36 @@ SELECT media_id, frame_idx,
        CAST(floor(frame_idx * 1000.0 / fps) AS BIGINT) AS ts_ms
 FROM f
 """.strip().format(d=_MEDIA_DIR),
-    "embedding_neardup_exact": f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE a.vec_id < {_NDUP_N} AND b.vec_id < {_NDUP_N}
-  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 6)
-      >= {_NDUP_T}
+    # accuracy-gate oracles: the sketch/sample VALUES are randomized (KLL
+    # compaction offsets, per-block reservoir keys), so the oracle states
+    # the deterministic CONTRACT the query asserts in-pipeline — any bound
+    # violation flips ok=false and hash-mismatches. n_distinct in
+    # hll_distinct is the engine's independent exact count, genuinely
+    # hash-checked against SQL's count(DISTINCT).
+    "sketch_quantiles": (
+        "SELECT CAST(unnest(["
+        + ", ".join(str(q) for q in _KLL_QS)
+        + "]) AS DOUBLE) AS q, TRUE AS ok"
+    ),
+    "hll_distinct": (
+        "SELECT 'user_id' AS col, count(DISTINCT user_id) AS n_distinct, "
+        "TRUE AS ok FROM events"
+    ),
+    "reservoir_sample": (
+        f"SELECT CAST({_RSV_K} AS BIGINT) AS k, "
+        f"CAST({_RSV_K} AS BIGINT) AS n, TRUE AS ok"
+    ),
+    "embedding_neardup_exact": _NDUP_EXACT_SQL,
+    "connected_components": f"""
+WITH RECURSIVE pairs AS ({_NDUP_EXACT_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT rc.id, e.b FROM reach rc JOIN edges e ON e.a = rc.r)
+SELECT id, min(r) AS component FROM reach GROUP BY id
 """.strip(),
     "knn_bruteforce": f"""
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
@@ -1265,6 +1427,42 @@ s AS (SELECT q.qid, e.vec_id AS nid,
       FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
 r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
       FROM s)
+SELECT qid AS query_id, nid AS neighbor_id, cos AS cosine, rk AS "rank"
+FROM r WHERE rk <= {_KNN_K}
+""".strip(),
+    # the IVF index replayed in SQL: same deterministic centroids (vec_id
+    # < _IVF_NC), same rounded-cosine orderings with ties to the lowest
+    # centroid index, same n_probe bucket scan + per-query top-k
+    "knn_ivf": f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+         CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id < {_IVF_NC}),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < {_KNN_Q}),
+asg AS (
+  SELECT vec_id, cidx FROM (
+    SELECT e.vec_id, c.cidx, row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), c.ce), 6) DESC, c.cidx) AS rk
+    FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+probe AS (
+  SELECT qid, cidx FROM (
+    SELECT q.qid, c.cidx, row_number() OVER (
+      PARTITION BY q.qid
+      ORDER BY round(list_cosine_similarity(q.qe, c.ce), 6) DESC,
+               c.cidx) AS rk
+    FROM q CROSS JOIN cent c) WHERE rk <= {_IVF_NPROBE}),
+cand AS (
+  SELECT q.qid, e.vec_id AS nid,
+    round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6)
+      AS cos
+  FROM q JOIN probe p ON p.qid = q.qid
+  JOIN asg a ON a.cidx = p.cidx
+  JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id <> q.qid),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        ORDER BY cos DESC, nid) AS rk FROM cand)
 SELECT qid AS query_id, nid AS neighbor_id, cos AS cosine, rk AS "rank"
 FROM r WHERE rk <= {_KNN_K}
 """.strip(),
@@ -1375,10 +1573,15 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_winnow": q_text_winnow,
     "knn_bruteforce": q_knn_bruteforce,
+    "knn_ivf": q_knn_ivf,
+    "sketch_quantiles": q_sketch_quantiles,
+    "hll_distinct": q_hll_distinct,
+    "reservoir_sample": q_reservoir_sample,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_exact": q_embedding_neardup_exact,
+    "connected_components": q_connected_components,
     "multimodal_features": q_multimodal_features,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_frames": q_multimodal_frames,

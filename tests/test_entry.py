@@ -18,6 +18,16 @@ TABLES = [
 ]
 
 
+def localize_fixture_paths(sql: str) -> str:
+    """The LSH signature-fixture oracles hard-code the driver's sf0.01
+    fixture dir (the driver always compares at sf0.01); this test compares
+    at SF_DIR, whose fixture the query side ensures — point the SQL there."""
+    from datax_ray.ops.lsh_fixture import lsh_fixture_dir
+
+    return sql.replace(lsh_fixture_dir("/root/testdata/sf0.01"),
+                       lsh_fixture_dir(SF_DIR))
+
+
 def oracle_run(sql: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in TABLES:
@@ -82,7 +92,7 @@ def test_query_matches_oracle(name):
     import __ray_entry__ as e
 
     got = normalize(to_pandas(e.queries()[name](SF_DIR)))
-    want = normalize(oracle_run(e.oracle_sql()[name]))
+    want = normalize(oracle_run(localize_fixture_paths(e.oracle_sql()[name])))
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
