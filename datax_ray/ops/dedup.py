@@ -197,7 +197,7 @@ def simhash_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 
 # --------------------------------------------------------------- minhash
-def minhash_signature_batch(texts: list[str | None], num_perm: int, shingle_k: int,
+def minhash_signature_batch(texts, num_perm: int, shingle_k: int,
                             seed: int = 7) -> np.ndarray:
     """(n, num_perm) uint64 signatures over word k-shingles — fully
     vectorized (flat rolling shingle hashes + per-permutation segment-min
@@ -227,8 +227,8 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
     sig_type = pa.list_(pa.uint64(), num_perm)
 
     def sig_batch(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        sigs = minhash_signature_batch(texts, num_perm, shingle_k, seed)
+        # Arrow column straight into the kernel — tokenize stays in C++
+        sigs = minhash_signature_batch(t[text_col], num_perm, shingle_k, seed)
         return pa.table(
             {id_col: t[id_col].cast(pa.int64()),
              "sig": pa.array(list(sigs), sig_type)}

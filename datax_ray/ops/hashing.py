@@ -16,17 +16,42 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 _FNV = np.uint64(1099511628211)
 
 
-def flat_token_hashes(texts: list[str | None]) -> tuple[np.ndarray, np.ndarray]:
-    """→ (flat uint64 token hashes, doc offsets of length n+1)."""
-    s = pd.Series(texts, dtype=object).fillna("")
-    token_lists = s.str.split()
-    lengths = token_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
-    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+def flat_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """→ (flat uint64 token hashes, doc offsets of length n+1).
+
+    ``texts`` may be a list[str | None] OR a pyarrow (Chunked)Array —
+    tokenization stays in Arrow C++ (trim + split_whitespace; no Python
+    list-of-lists materialization); only the final token hashing crosses
+    to object strings because ``pd.util.hash_array`` needs them.
+    Byte-identical to the previous pandas ``str.split`` path
+    (tests/test_round4.py pins it): Arrow emits edge empties on untrimmed
+    text, so trim first; an all-whitespace doc then splits to [''],
+    masked to 0 tokens below."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(pd.Series(texts, dtype=object).fillna(""), pa.string())
+    n = len(arr)
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(arr, ""))
+    toks = pc.utf8_split_whitespace(trimmed)
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False
+                                                  ).astype(np.int64)
+    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    lengths[empty] = 0
+    offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     if offsets[-1] == 0:
         return np.zeros(0, dtype=np.uint64), offsets
-    flat = np.concatenate([t if t else [] for t in token_lists]).astype(object)
-    return pd.util.hash_array(flat, categorize=False), offsets
+    flat = toks.flatten()
+    if empty.any():  # drop the one '' artifact token per empty doc
+        flat = flat.filter(pc.not_equal(flat, ""))
+    flat_obj = flat.to_numpy(zero_copy_only=False).astype(object)
+    return pd.util.hash_array(flat_obj, categorize=False), offsets
 
 
 def shingle_hashes(th: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -84,7 +109,7 @@ def _ranges(counts: np.ndarray) -> np.ndarray:
     return idx - np.repeat(ends - counts, counts)
 
 
-def minhash_batch(texts: list[str | None], num_perm: int, shingle_k: int,
+def minhash_batch(texts, num_perm: int, shingle_k: int,
                   seed: int = 7) -> np.ndarray:
     """(n_docs, num_perm) uint64 MinHash signatures, fully vectorized:
     one rolling-shingle pass + num_perm segment-min reductions."""
@@ -178,7 +203,7 @@ def winnow_batch(texts: list[str | None], k: int = 8, w: int = 4
     return d_s[keep], f_s[keep]
 
 
-def simhash_batch(texts: list[str | None]) -> np.ndarray:
+def simhash_batch(texts) -> np.ndarray:
     """(n_docs,) uint64 SimHash over whitespace tokens — 64 segment-sum
     reductions over the flat token-hash array."""
     th, offsets = flat_token_hashes(texts)

@@ -78,7 +78,7 @@ def ensure_lsh_fixture(sf_dir: str) -> str:
     from datax_ray.ops.hashing import minhash_batch, simhash_batch
 
     t = pq.read_table(src, columns=["doc_id", "text"])
-    texts = t["text"].to_pylist()
+    texts = t["text"]  # Arrow column straight into the kernels
     ids = t["doc_id"].combine_chunks().cast(pa.int64())
     num_perm = MINHASH_PARAMS["num_perm"]
     sigs = minhash_batch(texts, num_perm, MINHASH_PARAMS["shingle_k"],

@@ -207,5 +207,4 @@ def simhash64(text: str) -> int:
 def add_simhash(batch: pa.Table, col: str = "text", out: str = "simhash") -> pa.Table:
     from datax_ray.ops.hashing import simhash_batch
 
-    arr = batch[col].combine_chunks() if isinstance(batch[col], pa.ChunkedArray) else batch[col]
-    return batch.append_column(out, pa.array(simhash_batch(arr.to_pylist())))
+    return batch.append_column(out, pa.array(simhash_batch(batch[col])))

@@ -1,0 +1,175 @@
+"""Round-4 additions: Arrow-native tokenize equivalence pin, fast-vs-md5
+sampling distribution equivalence, LSH fixture determinism, compaction
+retention (time travel surviving compaction)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TRICKY = [
+    "hello world", "  leading", "trailing   ", "a\t\tb", "a\nb\rc",
+    "", "   ", None, "one", "a  b   c", "a\xa0b nbsp", "tok",
+    "mixed \t \n ws thin", "ünïcode tökens", "x " * 50,
+]
+
+
+def _pandas_flat_token_hashes(texts):
+    """The pre-round-4 implementation, kept verbatim as the behavioral pin
+    for the Arrow-native path (ops/hashing.py:flat_token_hashes)."""
+    s = pd.Series(texts, dtype=object).fillna("")
+    token_lists = s.str.split()
+    lengths = token_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    if offsets[-1] == 0:
+        return np.zeros(0, dtype=np.uint64), offsets
+    flat = np.concatenate([t if t else [] for t in token_lists]).astype(object)
+    return pd.util.hash_array(flat, categorize=False), offsets
+
+
+class TestArrowTokenize:
+    def test_flat_token_hashes_matches_pandas_path(self):
+        from datax_ray.ops.hashing import flat_token_hashes
+
+        for texts in (TRICKY, [], [None, None], ["", " ", "\t"]):
+            got_h, got_o = flat_token_hashes(texts)
+            want_h, want_o = _pandas_flat_token_hashes(texts)
+            np.testing.assert_array_equal(got_o, want_o)
+            np.testing.assert_array_equal(got_h, want_h)
+            # and via a pyarrow column (the hot-path input type)
+            got_h2, got_o2 = flat_token_hashes(pa.array(texts, pa.string()))
+            np.testing.assert_array_equal(got_o2, want_o)
+            np.testing.assert_array_equal(got_h2, want_h)
+
+    def test_signatures_byte_identical_on_corpus(self):
+        from datax_ray.ops.hashing import (
+            minhash_batch,
+            shingle_hashes,
+            simhash_batch,
+        )
+
+        t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                          columns=["text"])
+        texts = t["text"].to_pylist()
+        # reference signatures from the pinned pandas tokenization
+        th, off = _pandas_flat_token_hashes(texts)
+        sh, sh_off = shingle_hashes(th, off, 3)
+        got = minhash_batch(t["text"], 64, 3, seed=7)
+        # recompute minhash from the reference shingles
+        rng = np.random.default_rng(7)
+        M = np.uint64((1 << 61) - 1)
+        a = rng.integers(1, M, 64, dtype=np.uint64)
+        b = rng.integers(0, M, 64, dtype=np.uint64)
+        want = np.full((len(texts), 64), np.iinfo(np.uint64).max,
+                       dtype=np.uint64)
+        seg = np.diff(sh_off)
+        nz = seg > 0
+        starts = sh_off[:-1][nz]
+        with np.errstate(over="ignore"):
+            for j in range(64):
+                vals = (a[j] * sh + b[j]) % M
+                want[nz, j] = np.minimum.reduceat(vals, starts)
+        np.testing.assert_array_equal(got, want)
+        # simhash pin: Arrow column input == list input == pinned tokens
+        np.testing.assert_array_equal(simhash_batch(t["text"]),
+                                      simhash_batch(texts))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFastVsMd5Sampling:
+    """The oracled driver queries run mode='md5' (SQL-reproducible); the
+    100-TB production path is mode='fast' (vectorized siphash). Pin that
+    the fast path draws from the same distribution as the oracle path."""
+
+    def _orders(self, n=20000):
+        import ray.data as rd
+
+        rng = np.random.default_rng(12)
+        return rd.from_arrow(pa.table({
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "g": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+        })).repartition(8)
+
+    def test_hash_sample_fraction_chi2(self):
+        from datax_ray.ops.sample import hash_sample
+
+        n, frac = 20000, 0.2
+        counts = {}
+        for mode in ("fast", "md5"):
+            counts[mode] = hash_sample(self._orders(n), key_col="k",
+                                       fraction=frac, mode=mode).count()
+        # two-proportion z-test: both are Binomial(n, frac); each must sit
+        # within 4σ of the mean, and they must agree within 6σ of the
+        # difference distribution (loose: deterministic seeds, no flakes)
+        sd = (n * frac * (1 - frac)) ** 0.5
+        for mode, c in counts.items():
+            assert abs(c - n * frac) < 4 * sd, (mode, c)
+        assert abs(counts["fast"] - counts["md5"]) < 6 * sd * np.sqrt(2)
+
+    def test_hash_sample_boundaries(self):
+        from datax_ray.ops.sample import hash_sample, md5_sample_sql_predicate
+
+        ds = self._orders(1000)
+        assert hash_sample(ds, key_col="k", fraction=1.0, mode="md5").count() == 1000
+        assert hash_sample(ds, key_col="k", fraction=0.0, mode="md5").count() == 0
+        assert md5_sample_sql_predicate("k", 1.0) == "TRUE"
+        assert md5_sample_sql_predicate("k", 0.0) == "FALSE"
+
+    def test_stratified_exact_k_per_key_both_modes(self):
+        from datax_ray.ops.sample import stratified_sample
+
+        for mode in ("fast", "md5"):
+            out = stratified_sample(self._orders(8000), key_col="g",
+                                    id_col="k", k=3, mode=mode).to_pandas()
+            per_key = out.groupby("g")["k"].agg(["count", "nunique"])
+            assert (per_key["count"] == 3).all(), mode  # 40 keys × 200 rows
+            assert (per_key["nunique"] == 3).all(), mode
+            assert set(per_key.index) == set(range(40)), mode
+
+    def test_stratified_fast_selection_uniform(self):
+        """The fast path's per-key winners should be ~uniform over each
+        key's members: the mean selected id must land near the population
+        mean (binomial-ish bound over 40 keys × 3 picks)."""
+        from datax_ray.ops.sample import stratified_sample
+
+        out = stratified_sample(self._orders(8000), key_col="g",
+                                id_col="k", k=3, mode="fast").to_pandas()
+        m = out["k"].mean()
+        # population ids uniform on [0, 8000): mean 4000, sd of the mean of
+        # 120 uniform draws = 8000/sqrt(12)/sqrt(120) ≈ 211; 4σ ≈ 845
+        assert abs(m - 4000) < 845, m
+
+
+class TestLshFixtureDeterminism:
+    def test_fixture_marker_caches(self, tmp_path):
+        import time
+
+        from datax_ray.ops.lsh_fixture import ensure_lsh_fixture
+
+        out = ensure_lsh_fixture(SF_DIR)
+        sig_path = os.path.join(out, "minhash_sigs.parquet")
+        mtime = os.stat(sig_path).st_mtime_ns
+        time.sleep(0.01)
+        ensure_lsh_fixture(SF_DIR)  # marker hit: no rewrite
+        assert os.stat(sig_path).st_mtime_ns == mtime
+
+    def test_planes_match_engine(self):
+        from datax_ray.ops.lsh_fixture import (
+            NEARDUP_PARAMS,
+            ensure_planes_fixture,
+            lsh_planes,
+        )
+
+        path = ensure_planes_fixture()
+        t = pq.read_table(path)
+        p = NEARDUP_PARAMS
+        planes = lsh_planes(p["dim"], p["n_bits"], p["seed"])  # (dim, bits)
+        got = np.stack(t["plane"].to_numpy(zero_copy_only=False))
+        np.testing.assert_array_equal(got, planes.T)
+        assert t["bit"].to_pylist() == list(range(p["n_bits"]))
