@@ -220,6 +220,7 @@ def replay(
     epoch_size: int | None = None,
     salt: int | None = None,
     compact_every: int = 8,
+    keep_epochs: int = 0,
     run_id: str | None = None,
     source_desc: str = "",
     verbose: bool = False,
@@ -288,7 +289,7 @@ def replay(
                 f"({ev / max(wall, 1e-9):,.0f} ev/s)",
                 file=sys.stderr,
             )
-        _maybe_compact(manifest, lake_dir, epoch, compact_every)
+        _maybe_compact(manifest, lake_dir, epoch, compact_every, keep_epochs)
 
     return ReplayResult(
         manifest=manifest,
@@ -309,6 +310,7 @@ def replay_files(
     epoch_size: int | None = None,
     window: tuple | None = None,
     compact_every: int = 8,
+    keep_epochs: int = 0,
     run_id: str | None = None,
     verbose: bool = False,
     transform_specs: list | None = None,
@@ -419,7 +421,7 @@ def replay_files(
                 f"parts={len(metrics_rows)} commit_wait={wall:.2f}s",
                 file=sys.stderr,
             )
-        _maybe_compact(manifest, lake_dir, epoch, compact_every)
+        _maybe_compact(manifest, lake_dir, epoch, compact_every, keep_epochs)
         if bucket is not None:
             bucket.acquire(ev)
         if byte_bucket is not None:
@@ -446,9 +448,17 @@ def _phase1_fold(group: pa.Table) -> pa.Table:
     return lww_fold_table(group, drop_deletes=False, weight_col=EVENT_WEIGHT_COL)
 
 
-def _maybe_compact(manifest: Manifest, lake_dir: str, epoch: int, compact_every: int) -> None:
+def _maybe_compact(manifest: Manifest, lake_dir: str, epoch: int,
+                   compact_every: int, keep_epochs: int = 0) -> None:
     """Fold base+deltas into a fresh base snapshot for partitions whose
-    delta chain grew past ``compact_every`` (RocksDB-style compaction).
+    foldable delta chain grew past ``compact_every`` (RocksDB-style
+    compaction).
+
+    ``keep_epochs=N`` is snapshot RETENTION (the Iceberg/Delta
+    snapshot-expiry contract): only deltas from epochs ≤ current - N are
+    folded, so ``read_lake(as_of_epoch=e)`` keeps working after compaction
+    for every e newer than the folded boundary; the new base carries the
+    max folded epoch in its name, which is exactly that boundary.
 
     Tombstones are RETAINED in the base: a later epoch may still deliver an
     out-of-order event with an *older* ts for a deleted key, and it must
@@ -458,19 +468,22 @@ def _maybe_compact(manifest: Manifest, lake_dir: str, epoch: int, compact_every:
     RocksDB not dropping tombstones until bottom-level compaction."""
     if not compact_every:
         return
-    todo = [
-        int(p)
-        for p, st in manifest.state["partitions"].items()
-        if len(st["deltas"]) >= compact_every
-    ]
+    from datax_ray.sinks.lake import file_epoch
+
+    cutoff = epoch - keep_epochs
+    specs = []
+    for p_str, st in manifest.state["partitions"].items():
+        old = [d for d in st["deltas"] if file_epoch(d) <= cutoff]
+        if len(old) < compact_every:
+            continue
+        files = ([st["base"]] if st["base"] else []) + old
+        out_epoch = max(file_epoch(f) for f in files)
+        specs.append({"part": int(p_str), "files": files,
+                      "out": base_path(lake_dir, int(p_str), out_epoch)})
+    todo = specs
     if not todo:
         return
     import ray.data as rd
-
-    specs = [
-        {"part": p, "files": manifest.partition_files(p), "out": base_path(lake_dir, p, epoch)}
-        for p in todo
-    ]
 
     def compact(batch) -> pa.Table:
         from datax_ray.sinks.lake import fold_partition_files

@@ -198,6 +198,7 @@ def _run_lake_upsert(reader_p: dict, writer_p: dict, resume: bool,
         epoch_size=reader_p.get("epochSize"),
         window=tuple(reader_p["window"]) if reader_p.get("window") else None,
         compact_every=writer_p.get("compactEvery", 8),
+        keep_epochs=writer_p.get("keepEpochs", 0),
         run_id=writer_p.get("runId"),
         verbose=verbose,
         transform_specs=transform_specs,

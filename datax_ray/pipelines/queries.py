@@ -996,6 +996,31 @@ def q_cdc_time_travel(sf_dir: str):
     return out
 
 
+def q_cdc_time_travel_retained(sf_dir: str):
+    """Time travel SURVIVING compaction: replay in 8 epochs with
+    compaction every 4 foldable deltas and ``keep_epochs=3`` retention
+    (the Iceberg/Delta snapshot-expiry contract), then read AS OF epoch 5.
+    Compaction folds epochs ≤ 3 into a base, but the retained window keeps
+    the requested snapshot reconstructable (base-3 + delta-4 + delta-5).
+    Oracle: LWW fold of the first 6/8 of the log."""
+    from datax_ray.cdc.replay import replay_files
+    from datax_ray.sinks.lake import read_lake_table
+
+    meta = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
+    n = meta.num_rows
+    work = f"/tmp/datax_ray_q/ttret_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(work, ignore_errors=True)
+    cl_dir = os.path.join(work, "cl")
+    lake = os.path.join(work, "lake")
+    _changelog(sf_dir).write_parquet(cl_dir)
+    replay_files(cl_dir, lake_dir=lake, max_lsn_exclusive=n,
+                 num_partitions=8, epoch_size=(n + 7) // 8,
+                 compact_every=4, keep_epochs=3)
+    return read_lake_table(lake, as_of_epoch=5).select(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
 def q_cdc_cell_versions(sf_dir: str):
     """MULTI_VERSION export (otsstreamreader README.md:84-127): row events
     exploded into per-cell version records + row-delete markers."""
@@ -1122,6 +1147,16 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM (
                                ORDER BY ts DESC, lsn DESC) AS rn
   FROM changelog
   WHERE lsn < 2 * (((SELECT count(*) FROM events) + 3) // 4))
+WHERE rn = 1 AND op <> 'D'
+"""
+    ),
+    "cdc_time_travel_retained": (
+        "WITH " + CHANGELOG_CTE.strip() + """
+SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM changelog
+  WHERE lsn < 6 * (((SELECT count(*) FROM events) + 7) // 8))
 WHERE rn = 1 AND op <> 'D'
 """
     ),
@@ -1544,6 +1579,7 @@ QUERIES = {
     "cdc_cell_assemble": q_cdc_cell_assemble,
     "cdc_bootstrap_tail": q_cdc_bootstrap_tail,
     "cdc_time_travel": q_cdc_time_travel,
+    "cdc_time_travel_retained": q_cdc_time_travel_retained,
     "dx_substr": q_dx_substr,
     "dx_pad": q_dx_pad,
     "dx_replace": q_dx_replace,

@@ -44,6 +44,13 @@ def base_path(lake_dir: str, part: int, epoch: int) -> str:
     return os.path.join(partition_dir(lake_dir, part), f"base-{epoch:06d}.parquet")
 
 
+def file_epoch(path: str) -> int:
+    """The epoch a delta/base file carries in its name (``delta-{e:06d}`` /
+    ``base-{e:06d}``) — the snapshot index for time travel and retention."""
+    stem = os.path.basename(path).rsplit(".", 1)[0]
+    return int(stem.split("-")[-1])
+
+
 def atomic_write_parquet(table: pa.Table, path: str, compression: str = "zstd") -> int:
     """Write-tmp + rename; returns bytes written. Safe to re-run."""
     os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -191,11 +191,10 @@ class Manifest:
         of the fold chain. Raises if compaction already folded history
         past the requested epoch — once a base subsumes later epochs the
         earlier snapshots are gone (standard lakehouse behavior after
-        compaction/vacuum; retain longer by raising ``compact_every``)."""
-
-        def file_epoch(path: str) -> int:
-            stem = os.path.basename(path).rsplit(".", 1)[0]
-            return int(stem.split("-")[-1])
+        compaction/vacuum; retain a bounded window with the replay
+        ``keep_epochs`` knob — the Iceberg/Delta snapshot-expiry contract —
+        or raise ``compact_every``)."""
+        from datax_ray.sinks.lake import file_epoch
 
         p = self.state["partitions"].get(str(part))
         if not p:

@@ -146,6 +146,67 @@ class TestFastVsMd5Sampling:
         assert abs(m - 4000) < 845, m
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestCompactionRetention:
+    """keep_epochs=N preserves the last N epochs' deltas through compaction
+    (snapshot retention): time travel to epochs above the folded boundary
+    keeps working, below it raises — and the current state is byte-equal
+    to an uncompacted replay of the same log."""
+
+    def _lake(self, tmp_path, name, **kw):
+        from datax_ray.cdc.replay import replay_files
+        from datax_ray.sources.generators import (
+            ChangelogSpec,
+            write_changelog_parquet,
+        )
+
+        cl = str(tmp_path / "cl")
+        if not os.path.isdir(cl):
+            write_changelog_parquet(
+                ChangelogSpec(n_events=4000, n_convs=60, max_turns=8,
+                              n_blocks=2, seed=23), cl)
+        lake = str(tmp_path / name)
+        replay_files(cl, lake_dir=lake, max_lsn_exclusive=4000,
+                     num_partitions=4, epoch_size=500, **kw)
+        return lake
+
+    def test_time_travel_survives_compaction_with_retention(self, tmp_path):
+        import glob
+
+        from datax_ray.sinks.lake import read_lake_table
+
+        plain = self._lake(tmp_path, "lake_plain", compact_every=0)
+        ret = self._lake(tmp_path, "lake_ret", compact_every=4,
+                         keep_epochs=3)
+        # compaction actually ran: a base file exists, folded at epoch ≤ 4
+        bases = glob.glob(os.path.join(ret, "data", "part=*", "base-*.parquet"))
+        assert bases, "retention compaction must have produced base files"
+        from datax_ray.sinks.lake import file_epoch
+
+        assert max(file_epoch(b) for b in bases) <= 4  # cutoff = 7 - 3
+        # snapshots above the folded boundary still reconstruct exactly
+        for e in (5, 6, 7):
+            got = read_lake_table(ret, as_of_epoch=e)
+            want = read_lake_table(plain, as_of_epoch=e)
+            assert got.equals(want), f"as_of_epoch={e} diverged"
+        # current state matches too
+        assert read_lake_table(ret).equals(read_lake_table(plain))
+        # below the boundary the snapshot is gone — must raise, not lie
+        with pytest.raises(ValueError, match="compacted"):
+            read_lake_table(ret, as_of_epoch=2)
+
+    def test_no_retention_folds_everything(self, tmp_path):
+        import glob
+
+        from datax_ray.sinks.lake import file_epoch, read_lake_table
+
+        lake = self._lake(tmp_path, "lake_all", compact_every=4)
+        bases = glob.glob(os.path.join(lake, "data", "part=*", "base-*.parquet"))
+        assert bases and max(file_epoch(b) for b in bases) >= 4
+        with pytest.raises(ValueError, match="compacted"):
+            read_lake_table(lake, as_of_epoch=0)
+
+
 class TestLshFixtureDeterminism:
     def test_fixture_marker_caches(self, tmp_path):
         import time
