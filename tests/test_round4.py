@@ -234,3 +234,154 @@ class TestLshFixtureDeterminism:
         got = np.stack(t["plane"].to_numpy(zero_copy_only=False))
         np.testing.assert_array_equal(got, planes.T)
         assert t["bit"].to_pylist() == list(range(p["n_bits"]))
+
+
+class TestAsofJoin:
+    """Backward as-of join (shuffle + broadcast paths) pinned against
+    pandas merge_asof on a randomized keyed time series."""
+
+    def _frames(self, seed=7, n_left=400, n_right=300, n_keys=12):
+        rng = np.random.default_rng(seed)
+        left = pd.DataFrame({
+            "k": rng.integers(0, n_keys, n_left),
+            "t": rng.integers(0, 10_000, n_left).astype(np.int64),
+            "lv": np.arange(n_left, dtype=np.int64),
+        })
+        right = pd.DataFrame({
+            "k": rng.integers(0, n_keys + 2, n_right),  # some keys miss
+            "t": rng.integers(0, 10_000, n_right).astype(np.int64),
+            "rv": np.arange(n_right, dtype=np.int64),
+        })
+        # merge_asof needs unique (k, t) on the right to be a deterministic
+        # oracle (ties broken by last row); drop dup timestamps instead
+        right = right.drop_duplicates(["k", "t"], keep="last")
+        return left, right
+
+    def _oracle(self, left, right, tolerance=None):
+        ora = pd.merge_asof(
+            left.sort_values("t", kind="stable"),
+            right.sort_values("t", kind="stable").rename(
+                columns={"t": "t_r", "rv": "rv_r"}),
+            left_on="t", right_on="t_r", by="k", direction="backward",
+            tolerance=tolerance, allow_exact_matches=True)
+        return ora.sort_values("lv").reset_index(drop=True)
+
+    @pytest.mark.parametrize("how", ["left", "inner"])
+    def test_shuffle_path_matches_merge_asof(self, ray_session, how):
+        import ray.data as rd
+
+        from datax_ray.ops.joins import asof_join
+
+        left, right = self._frames()
+        got = asof_join(
+            rd.from_pandas(left).repartition(5),
+            rd.from_pandas(right).repartition(4),
+            by="k", on="t", right_cols=["rv"], how=how, num_partitions=8,
+        ).to_pandas().sort_values("lv").reset_index(drop=True)
+        ora = self._oracle(left, right)
+        if how == "inner":
+            ora = ora[ora["t_r"].notna()].reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["k", "t", "lv", "t_r", "rv_r"]],
+            ora[["k", "t", "lv", "t_r", "rv_r"]].astype(
+                {"t_r": "float64", "rv_r": "float64"}),
+            check_dtype=False)
+
+    def test_broadcast_path_and_tolerance(self, ray_session):
+        import ray.data as rd
+
+        from datax_ray.ops.joins import asof_join, asof_join_broadcast
+
+        left, right = self._frames(seed=11)
+        for tol in (None, 500):
+            got = asof_join_broadcast(
+                rd.from_pandas(left).repartition(5), right,
+                by="k", on="t", right_cols=["rv"], tolerance=tol,
+            ).to_pandas().sort_values("lv").reset_index(drop=True)
+            ora = self._oracle(left, right, tolerance=tol)
+            pd.testing.assert_frame_equal(
+                got[["k", "t", "lv", "t_r", "rv_r"]],
+                ora[["k", "t", "lv", "t_r", "rv_r"]].astype(
+                    {"t_r": "float64", "rv_r": "float64"}),
+                check_dtype=False)
+            # shuffle path agrees with broadcast path under tolerance too
+            got2 = asof_join(
+                rd.from_pandas(left).repartition(5),
+                rd.from_pandas(right).repartition(4),
+                by="k", on="t", right_cols=["rv"], tolerance=tol,
+                num_partitions=8,
+            ).to_pandas().sort_values("lv").reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                got[["k", "t", "lv", "t_r", "rv_r"]],
+                got2[["k", "t", "lv", "t_r", "rv_r"]], check_dtype=False)
+
+    def test_right_ties_take_latest_sorted_row(self, ray_session):
+        import ray.data as rd
+
+        from datax_ray.ops.joins import asof_join
+
+        left = pd.DataFrame({"k": [1], "t": [10], "lv": [0]})
+        right = pd.DataFrame({"k": [1, 1], "t": [10, 10], "rv": [5, 9]})
+        got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                        by="k", on="t", right_cols=["rv"],
+                        num_partitions=2).to_pandas()
+        assert got["rv_r"].tolist() == [9]  # max rv at equal (k, t)
+
+
+class TestIntervalJoin:
+    """Range join (lo <= ts < hi) against a brute-force oracle; bucketed
+    path must be exact and duplicate-free for intervals spanning buckets."""
+
+    def _data(self, seed=3, n=500, n_iv=25):
+        rng = np.random.default_rng(seed)
+        rows = pd.DataFrame({
+            "ts": rng.integers(0, 100_000, n).astype(np.int64),
+            "rid": np.arange(n, dtype=np.int64),
+        })
+        lo = rng.integers(0, 95_000, n_iv).astype(np.int64)
+        hi = lo + rng.integers(1, 40_000, n_iv)  # long spans cross buckets
+        iv = pa.table({"iv_id": pa.array(np.arange(n_iv)),
+                       "lo": pa.array(lo), "hi": pa.array(hi)})
+        pairs = [(int(r), int(i)) for r in range(n) for i in range(n_iv)
+                 if lo[i] <= rows["ts"][r] < hi[i]]
+        return rows, iv, sorted(pairs)
+
+    def test_broadcast_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from datax_ray.ops.joins import interval_join_broadcast
+
+        rows, iv, want = self._data()
+        got = interval_join_broadcast(
+            rd.from_pandas(rows).repartition(4), iv, ts_col="ts",
+        ).to_pandas()
+        assert sorted(zip(got["rid"], got["iv_id"])) == want
+
+    @pytest.mark.parametrize("bucket", [1_000, 7_777, 50_000])
+    def test_bucketed_matches_bruteforce(self, ray_session, bucket):
+        import ray.data as rd
+
+        from datax_ray.ops.joins import interval_join_bucketed
+
+        rows, iv, want = self._data(seed=5)
+        got = interval_join_bucketed(
+            rd.from_pandas(rows).repartition(4), iv, ts_col="ts",
+            bucket=bucket, num_partitions=8,
+        ).to_pandas()
+        assert sorted(zip(got["rid"], got["iv_id"])) == want
+
+    def test_empty_intersection(self, ray_session):
+        import ray.data as rd
+
+        from datax_ray.ops.joins import interval_join_broadcast
+
+        rows = pd.DataFrame({"ts": np.array([1, 2], dtype=np.int64),
+                             "rid": np.array([0, 1], dtype=np.int64)})
+        iv = pa.table({"iv_id": pa.array([0]),
+                       "lo": pa.array([100], type=pa.int64()),
+                       "hi": pa.array([200], type=pa.int64())})
+        got = interval_join_broadcast(rd.from_pandas(rows), iv, ts_col="ts")
+        # schema survives on the empty result (to_pandas drops columns on
+        # an all-empty dataset — a Ray quirk, so assert at the Dataset level)
+        assert got.schema().names == ["ts", "rid", "iv_id", "lo", "hi"]
+        assert got.count() == 0
