@@ -548,6 +548,89 @@ def q_anti_join_orders(sf_dir: str):
     return anti_filter(ds, _building_custkeys(sf_dir), on="o_custkey")
 
 
+def q_asof_clicks_views(sf_dir: str):
+    """As-of join, shuffle path: each click event matched to the LATEST
+    prior (or simultaneous) view event by the same user — tagged union +
+    one hash-partition exchange + one vectorized kernel per partition
+    (ops/joins.asof_join). The sessionization sibling of DuckDB's
+    ``ASOF JOIN``."""
+    from datax_ray.ops.joins import asof_join
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    clicks = _read(sf_dir, "events", columns=cols,
+                   filter=pc.field("event_type") == "click")
+    views = _read(sf_dir, "events", columns=cols,
+                  filter=pc.field("event_type") == "view")
+    out = asof_join(clicks.drop_columns(["event_type"]),
+                    views, by="user_id", on="ts",
+                    right_cols=["event_id"], suffix="_v", how="left",
+                    num_partitions=16)
+    return out
+
+
+def q_asof_tolerance_broadcast(sf_dir: str):
+    """As-of join, broadcast path with a 1-hour tolerance: the view-side
+    table ships once via ray.put (sorted), each batch resolves its match
+    with one composite-key binary search — zero shuffle. Matches older
+    than 1 hour are dropped (nulled) like merge_asof's ``tolerance``."""
+    from datax_ray.ops.joins import asof_join_broadcast
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    clicks = _read(sf_dir, "events", columns=cols,
+                   filter=pc.field("event_type") == "click")
+    views_tbl = pa.concat_tables(
+        ray_get_blocks(_read(sf_dir, "events", columns=cols,
+                             filter=pc.field("event_type") == "view")))
+    return asof_join_broadcast(
+        clicks.drop_columns(["event_type"]),
+        views_tbl.drop_columns(["event_type"]),
+        by="user_id", on="ts", right_cols=["event_id"], suffix="_v",
+        how="left", tolerance=3_600_000_000)
+
+
+def ray_get_blocks(ds):
+    import ray
+
+    return [ray.get(ref) for ref in ds.to_arrow_refs()]
+
+
+#: Deterministic campaign windows over the events month — campaign ``i``
+#: runs [2024-01-01 + 33·i hours, +24 + (7·i mod 48) hours). Kept in
+#: lockstep with the SQL oracle's ``range(20)`` CTE.
+_N_CAMPAIGNS = 20
+
+
+def _campaign_intervals() -> pa.Table:
+    i = np.arange(_N_CAMPAIGNS, dtype=np.int64)
+    hour_us = 3_600_000_000
+    base = 1_704_067_200_000_000  # epoch µs of 2024-01-01 00:00:00
+    lo = base + 33 * i * hour_us
+    hi = lo + (24 + (7 * i) % 48) * hour_us
+    return pa.table({
+        "campaign_id": pa.array(i),
+        "lo": pa.array(lo, type=pa.timestamp("us")),
+        "hi": pa.array(hi, type=pa.timestamp("us")),
+    })
+
+
+def q_interval_join_campaigns(sf_dir: str):
+    """Range join, bucketed scale path: every event joined to every
+    campaign window containing its ts (windows overlap → one row per
+    match). Intervals are replicated to the 24-hour time buckets they
+    overlap with clamped bounds (exact, duplicate-free); rows route by
+    ``ts // bucket`` — the large-interval-set shape that still works when
+    the interval table itself is too big to broadcast."""
+    from datax_ray.ops.joins import interval_join_bucketed
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts"])
+    out = interval_join_bucketed(ev, _campaign_intervals(), ts_col="ts",
+                                 bucket=24 * 3_600_000_000,
+                                 num_partitions=16)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "campaign_id", "lo", "hi"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 # -------------------------------------------------------- dedup / text / sim
 def q_dedup_exact(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1314,6 +1397,31 @@ SELECT o_custkey, o_orderkey FROM (
         "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey NOT IN "
         "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
     ),
+    "asof_clicks_views": """
+SELECT l.event_id, l.ts, l.user_id, r.ts AS ts_v, r.event_id AS event_id_v
+FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""".strip(),
+    "asof_tolerance_broadcast": """
+SELECT l.event_id, l.ts, l.user_id,
+  CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR THEN r.ts END AS ts_v,
+  CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR THEN r.event_id END AS event_id_v
+FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""".strip(),
+    "interval_join_campaigns": """
+WITH c AS (
+  SELECT i AS campaign_id,
+         TIMESTAMP '2024-01-01' + to_hours(33 * i) AS lo,
+         TIMESTAMP '2024-01-01' + to_hours(33 * i + 24 + (7 * i) % 48) AS hi
+  FROM range(20) t(i))
+SELECT e.event_id, c.campaign_id, c.lo, c.hi
+FROM events e JOIN c ON e.ts >= c.lo AND e.ts < c.hi
+""".strip(),
     "dedup_exact": """
 WITH fp AS (
   SELECT doc_id, text,
@@ -1601,6 +1709,9 @@ QUERIES = {
     "join_orders_mktsegment": q_join_orders_mktsegment,
     "semi_join_orders": q_semi_join_orders,
     "anti_join_orders": q_anti_join_orders,
+    "asof_clicks_views": q_asof_clicks_views,
+    "asof_tolerance_broadcast": q_asof_tolerance_broadcast,
+    "interval_join_campaigns": q_interval_join_campaigns,
     "dedup_exact": q_dedup_exact,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
