@@ -431,6 +431,153 @@ def _verify_sig_pairs(sig_ds, pairs_ds, *, threshold: float, num_perm: int,
     )
 
 
+def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.1,
+                        max_df: int | None = None,
+                        num_partitions: int = 16):
+    """EXACT word n-gram Jaccard near-dup pairs via a distributed inverted
+    index — no all-pairs stage anywhere:
+
+    1. ``map_batches``: per-doc DISTINCT shingle hashes (Arrow tokenize →
+       rolling polynomial fold, the same kernels as MinHash) → flat
+       ``(gram, doc_id, set_size)`` postings, ~20 B each — the only thing
+       that ever shuffles.
+    2. hash-partition by gram; per partition one vectorized kernel turns
+       each posting run into its doc pairs (triangular-number decode, no
+       per-gram Python loop) — a pair surfaces once per SHARED gram.
+    3. hash-partition by pair; run-length count = |intersection|, and
+       ``jaccard = inter / (sz_a + sz_b - inter)`` exactly (set sizes ride
+       along with the postings, so no join-back).
+
+    Exactness caveat at scale: a gram appearing in ``df`` docs emits
+    O(df²) pairs — stopword-like grams explode. ``max_df`` drops posting
+    runs longer than that before pair generation: intersections are then
+    undercounted by the dropped common grams, i.e. Jaccard is
+    UNDER-estimated (recall loss on borderline pairs only, no false
+    positives). Docs shorter than ``n`` tokens contribute one whole-doc
+    gram (``ngram_jaccard`` scalar semantics); empty docs never pair.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
+    """
+    from datax_ray.ops.hashing import (
+        _ranges,
+        flat_token_hashes,
+        shingle_hashes,
+    )
+
+    P = np.uint64(num_partitions)
+
+    def postings(t: pa.Table) -> pa.Table:
+        th, off = flat_token_hashes(t[text_col])
+        sh, soff = shingle_hashes(th, off, n)
+        n_docs = t.num_rows
+        doc = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(soff))
+        order = np.lexsort((sh, doc))
+        d, g = doc[order], sh[order]
+        keep = np.ones(len(d), dtype=bool)  # distinct (doc, gram)
+        keep[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+        d, g = d[keep], g[keep]
+        sz = np.bincount(d, minlength=n_docs)
+        ids = np.asarray(t[id_col]).astype(np.int64)
+        return pa.table({
+            "gram": pa.array(g),
+            id_col: pa.array(ids[d]),
+            "sz": pa.array(sz[d].astype(np.int64)),
+            "_part": pa.array((stable_hash(g) % P).astype(np.int32)),
+        })
+
+    def _run_pairs(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Flat (a, b) in-run index pairs, a < b, for ALL runs at once:
+        decode each pair's rank k within its run through the triangular
+        root b = ⌈(1+√(1+8k))/2⌉ − fully vectorized."""
+        p = counts * (counts - 1) // 2
+        total = int(p.sum())
+        if total == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        ends = np.cumsum(p)
+        k = np.arange(total, dtype=np.int64) - np.repeat(ends - p, p)
+        b = np.ceil((1.0 + np.sqrt(1.0 + 8.0 * k)) / 2.0).astype(np.int64)
+        # float-precision guard: nudge b until tri(b-1) <= k < tri(b)
+        tri = b * (b - 1) // 2
+        b -= tri > k
+        tri = b * (b - 1) // 2
+        b += (tri + b) <= k
+        a = k - b * (b - 1) // 2
+        base = np.repeat(np.cumsum(counts) - counts, p)
+        return base + a, base + b
+
+    def pair_emit(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+            "sz_a": pa.array([], pa.int64()), "sz_b": pa.array([], pa.int64()),
+            "_p2": pa.array([], pa.int32()),
+        })
+        if g.num_rows < 2:
+            return empty
+        g = g.sort_by([("gram", "ascending"), (id_col, "ascending")])
+        gram = np.asarray(g["gram"]).astype(np.uint64)
+        ids = np.asarray(g[id_col]).astype(np.int64)
+        sz = np.asarray(g["sz"]).astype(np.int64)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], gram[1:] != gram[:-1])))
+        counts = np.diff(np.append(starts, len(gram)))
+        if max_df is not None:
+            hot = counts > max_df
+            if hot.any():
+                drop = np.zeros(len(gram), dtype=bool)
+                drop[np.repeat(starts[hot], counts[hot])
+                     + _ranges(counts[hot])] = True
+                gram, ids, sz = gram[~drop], ids[~drop], sz[~drop]
+                starts = np.flatnonzero(np.concatenate(
+                    ([True], gram[1:] != gram[:-1]))) if len(gram) else \
+                    np.zeros(0, np.int64)
+                counts = np.diff(np.append(starts, len(gram)))
+        ia, ib = _run_pairs(counts)
+        if len(ia) == 0:
+            return empty
+        id_a, id_b = ids[ia], ids[ib]
+        nonself = id_a != id_b  # guard duplicate doc_ids
+        id_a, id_b = id_a[nonself], id_b[nonself]
+        sz_a, sz_b = sz[ia][nonself], sz[ib][nonself]
+        key = id_a.astype(np.uint64) * np.uint64(1_000_003) \
+            + id_b.astype(np.uint64)
+        return pa.table({
+            "id_a": pa.array(id_a), "id_b": pa.array(id_b),
+            "sz_a": pa.array(sz_a), "sz_b": pa.array(sz_b),
+            "_p2": pa.array((stable_hash(key) % P).astype(np.int32)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        g = g.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+        a = np.asarray(g["id_a"]).astype(np.int64)
+        b = np.asarray(g["id_b"]).astype(np.int64)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]))))
+        inter = np.diff(np.append(starts, len(a))).astype(np.int64)
+        sz_a = np.asarray(g["sz_a"]).astype(np.int64)[starts]
+        sz_b = np.asarray(g["sz_b"]).astype(np.int64)[starts]
+        jac = inter / (sz_a + sz_b - inter)
+        keep = jac >= threshold
+        if not keep.any():
+            return empty
+        return pa.table({
+            "id_a": pa.array(a[starts][keep]),
+            "id_b": pa.array(b[starts][keep]),
+            "jaccard": pa.array(np.round(jac[keep], 6)),
+        })
+
+    return (
+        ds.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part").map_groups(pair_emit, batch_format="pyarrow")
+        .groupby("_p2").map_groups(fold, batch_format="pyarrow")
+    )
+
+
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     """Exact word n-gram Jaccard similarity (pair verification)."""
 

@@ -632,6 +632,17 @@ def q_interval_join_campaigns(sf_dir: str):
 
 
 # -------------------------------------------------------- dedup / text / sim
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs via the distributed inverted
+    index (ops/dedup.ngram_jaccard_pairs): postings shuffle once by gram,
+    pairs fold once by pair key — no all-pairs stage, SQL-oracle-able
+    end-to-end (unlike the probabilistic MinHash path it backstops)."""
+    from datax_ray.ops.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, n=3, threshold=0.1, num_partitions=16)
+
+
 def q_dedup_exact(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return exact_dedup(ds, num_partitions=8)
@@ -1422,6 +1433,25 @@ WITH c AS (
 SELECT e.event_id, c.campaign_id, c.lo, c.hi
 FROM events e JOIN c ON e.ts >= c.lo AND e.ts < c.hi
 """.strip(),
+    "ngram_jaccard_pairs": r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
+         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' ')))
+    END AS grams
+  FROM w WHERE len(toks) > 0
+), e AS (
+  SELECT doc_id, unnest(grams) AS gram, len(grams) AS sz FROM g
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(count(*) / CAST(a.sz + b.sz - count(*) AS DOUBLE), 6) AS jaccard
+FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+HAVING count(*) / CAST(a.sz + b.sz - count(*) AS DOUBLE) >= 0.1
+""".strip(),
     "dedup_exact": """
 WITH fp AS (
   SELECT doc_id, text,
@@ -1712,6 +1742,7 @@ QUERIES = {
     "asof_clicks_views": q_asof_clicks_views,
     "asof_tolerance_broadcast": q_asof_tolerance_broadcast,
     "interval_join_campaigns": q_interval_join_campaigns,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_exact": q_dedup_exact,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,

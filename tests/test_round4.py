@@ -385,3 +385,63 @@ class TestIntervalJoin:
         # an all-empty dataset — a Ray quirk, so assert at the Dataset level)
         assert got.schema().names == ["ts", "rid", "iv_id", "lo", "hi"]
         assert got.count() == 0
+
+
+class TestNgramJaccardPairs:
+    """Distributed inverted-index exact n-gram Jaccard vs the scalar
+    brute-force oracle, plus the max_df underestimate contract."""
+
+    def _texts(self, seed=0, n=120):
+        rng = np.random.default_rng(seed)
+        vocab = np.array(["alpha", "beta", "gamma", "delta", "eps",
+                          "zeta", "eta", "theta"])
+        texts = [" ".join(rng.choice(vocab, rng.integers(0, 15)))
+                 for _ in range(n)]
+        texts += ["alpha beta gamma delta", "alpha beta gamma delta",
+                  "", "  ", "one two"]
+        return texts
+
+    def _brute(self, texts, threshold):
+        from datax_ray.ops.dedup import ngram_jaccard
+
+        want = set()
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                if not texts[i].split() or not texts[j].split():
+                    continue  # empty docs never share a posting
+                jc = ngram_jaccard(texts[i], texts[j], 3)
+                if jc > 0 and jc >= threshold:
+                    want.add((i, j, round(jc, 6)))
+        return want
+
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from datax_ray.ops.dedup import ngram_jaccard_pairs
+
+        texts = self._texts()
+        t = pa.table({"doc_id": pa.array(np.arange(len(texts)),
+                                         type=pa.int64()),
+                      "text": pa.array(texts)})
+        got = ngram_jaccard_pairs(
+            rd.from_arrow(t).repartition(4), threshold=0.2,
+            num_partitions=8).to_pandas()
+        assert set(zip(got.id_a, got.id_b, got.jaccard)) == \
+            self._brute(texts, 0.2)
+
+    def test_max_df_only_underestimates(self, ray_session):
+        import ray.data as rd
+
+        from datax_ray.ops.dedup import ngram_jaccard_pairs
+
+        texts = self._texts(seed=2)
+        t = pa.table({"doc_id": pa.array(np.arange(len(texts)),
+                                         type=pa.int64()),
+                      "text": pa.array(texts)})
+        ds = rd.from_arrow(t).repartition(4)
+        exact = {(a, b): j for a, b, j in self._brute(texts, 0.0)}
+        capped = ngram_jaccard_pairs(ds, threshold=0.05, max_df=5,
+                                     num_partitions=8).to_pandas()
+        for a, b, j in zip(capped.id_a, capped.id_b, capped.jaccard):
+            assert (a, b) in exact          # no false positives
+            assert j <= exact[(a, b)] + 1e-9  # never over-estimates
