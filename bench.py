@@ -169,6 +169,9 @@ def run_bench() -> dict:
             "text_quality",
             "knn_bruteforce",
             "minhash_lsh_pairs",
+            "asof_clicks_views",
+            "interval_join_campaigns",
+            "ngram_jaccard_pairs",
         ]
         for name in subset:
             t0 = time.perf_counter()
