@@ -23,10 +23,11 @@ strictly 1 reader : 1 writer) but any real pipeline needs.
   kernel per partition with clamped bounds — partitioning assumption:
   time buckets spread ~evenly mod P, and each interval overlaps a bounded
   number of buckets (pick ``bucket_us`` ≳ the typical interval length).
-- For generic large-large equi-joins use the bucketed pattern: add
-  ``hash(key) % B`` to both sides, groupby bucket, merge per bucket (see
-  SNIPPETS/ray guide) — not needed by any current pipeline, so not built
-  speculatively.
+- ``hash_join`` — the generic large-large equi-join: both sides tagged
+  and hash-partitioned by key in ONE exchange (the tagged-union pattern —
+  measurably faster than respawning ``Dataset.join``'s aggregator pools,
+  and it reuses the engine's one partitioning function), then a zero-copy
+  ``pa.Table.join`` per partition. inner/left/right/full/semi/anti.
 """
 
 from __future__ import annotations
@@ -194,6 +195,80 @@ def asof_join(left, right, *, by: str, on: str,
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))
+    return tagged.groupby("_part").map_groups(kernel, batch_format="pyarrow")
+
+
+def hash_join(left, right, *, on: "str | list[str]",
+              how: str = "inner", suffix: str = "_r",
+              num_partitions: int = 64):
+    """Large-large equi-join: neither side needs to fit anywhere. Both
+    sides are tagged and hash-partitioned by the join key in ONE exchange
+    (tagged union — same partitioning function as every other shuffle in
+    the engine), then each partition runs one zero-copy ``pa.Table.join``
+    hash join. ``how`` ∈ inner/left/right/outer/semi/anti (reference
+    writeMode-style names mapped to Arrow join types).
+
+    Join keys must share names on both sides (TPC-H-style distinct
+    payload names); right payload columns colliding with left names are
+    emitted with ``suffix``. Skewed keys follow the engine's standard
+    story: pre-aggregate or salt upstream — a single hot key lands in one
+    partition here, exactly like the LWW merge."""
+    keys = [on] if isinstance(on, str) else list(on)
+    join_type = _JOIN_TYPES.get(how, how)
+    lt = dict(zip(left.schema().names, left.schema().types))
+    rt = dict(zip(right.schema().names, right.schema().types))
+    for k in keys:
+        if k not in lt or k not in rt:
+            raise ValueError(f"join key {k!r} missing from a side")
+    left_names = list(lt)
+    # right payload columns colliding with a left name are pre-renamed with
+    # ``suffix`` in the union schema (the per-partition join then never
+    # collides); {union_name: right_name}
+    r_out = {(c if c not in lt else f"{c}{suffix}"): c
+             for c in rt if c not in keys}
+    right_payload = list(r_out)
+    union_fields = (
+        [(n, lt[n]) for n in left_names]
+        + [(o, rt[c]) for o, c in r_out.items()]
+        + [("_side", pa.int8()), ("_part", pa.int32())]
+    )
+    union_schema = pa.schema(union_fields)
+
+    def _part_of(t: pa.Table) -> np.ndarray:
+        from datax_ray.cdc.merge import stable_hash
+
+        h = stable_hash(t[keys[0]])
+        for k in keys[1:]:  # mix multi-key hashes (commutative-safe fold)
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(0x100000001B3) ^ stable_hash(t[k])
+        return (h % np.uint64(num_partitions)).astype(np.int32)
+
+    def _tag(side: int):
+        # union name -> source column name in this side's batches
+        src = {n: n for n in left_names} if side == 1 else \
+            {**{k: k for k in keys}, **r_out}
+        own = set(src) if side == 1 else set(keys) | set(right_payload)
+
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = []
+            for name, typ in union_fields[:-2]:
+                cols.append(t[src[name]].combine_chunks()
+                            if name in own else pa.nulls(n, type=typ))
+            cols.append(pa.array(np.full(n, side, dtype=np.int8)))
+            cols.append(pa.array(_part_of(t), type=pa.int32()))
+            return pa.Table.from_arrays(cols, schema=union_schema)
+        return f
+
+    def kernel(g: pa.Table) -> pa.Table:
+        side = g["_side"]
+        l_tbl = g.filter(pc.equal(side, 1)).select(left_names)
+        r_tbl = g.filter(pc.equal(side, 0)).select(keys + right_payload)
+        return l_tbl.join(r_tbl, keys=keys, join_type=join_type,
+                          right_suffix=suffix)
+
+    tagged = left.map_batches(_tag(1), batch_format="pyarrow").union(
+        right.map_batches(_tag(0), batch_format="pyarrow"))
     return tagged.groupby("_part").map_groups(kernel, batch_format="pyarrow")
 
 

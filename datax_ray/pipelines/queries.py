@@ -548,6 +548,28 @@ def q_anti_join_orders(sf_dir: str):
     return anti_filter(ds, _building_custkeys(sf_dir), on="o_custkey")
 
 
+def q_hash_join_lineitem(sf_dir: str):
+    """Large-large equi-join, the no-broadcast path: lineitem ⋈ orders on
+    the order key — both sides hash-partition in ONE tagged-union
+    exchange, each partition runs a zero-copy ``pa.Table.join``
+    (ops/joins.hash_join). The shape that still works when NEITHER side
+    fits a node."""
+    from datax_ray.ops.joins import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def rekey(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["l_orderkey", "o_custkey", "o_totalprice"])
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"]
+                   ).map_batches(rekey, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return hash_join(li, orders, on="l_orderkey", how="inner",
+                     num_partitions=16)
+
+
 def q_asof_clicks_views(sf_dir: str):
     """As-of join, shuffle path: each click event matched to the LATEST
     prior (or simultaneous) view event by the same user — tagged union +
@@ -1408,6 +1430,10 @@ SELECT o_custkey, o_orderkey FROM (
         "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey NOT IN "
         "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
     ),
+    "hash_join_lineitem": (
+        "SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, "
+        "o_totalprice FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ),
     "asof_clicks_views": """
 SELECT l.event_id, l.ts, l.user_id, r.ts AS ts_v, r.event_id AS event_id_v
 FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click') l
@@ -1739,6 +1765,7 @@ QUERIES = {
     "join_orders_mktsegment": q_join_orders_mktsegment,
     "semi_join_orders": q_semi_join_orders,
     "anti_join_orders": q_anti_join_orders,
+    "hash_join_lineitem": q_hash_join_lineitem,
     "asof_clicks_views": q_asof_clicks_views,
     "asof_tolerance_broadcast": q_asof_tolerance_broadcast,
     "interval_join_campaigns": q_interval_join_campaigns,

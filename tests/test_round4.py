@@ -445,3 +445,68 @@ class TestNgramJaccardPairs:
         for a, b, j in zip(capped.id_a, capped.id_b, capped.jaccard):
             assert (a, b) in exact          # no false positives
             assert j <= exact[(a, b)] + 1e-9  # never over-estimates
+
+
+class TestHashJoin:
+    """Large-large tagged-union hash join vs pandas merge across all join
+    types, including payload-name collisions and keys absent on one side."""
+
+    def _frames(self, seed=9):
+        rng = np.random.default_rng(seed)
+        L = pd.DataFrame({"k": rng.integers(0, 40, 300).astype(np.int64),
+                          "x": np.arange(300, dtype=np.int64),
+                          "v": rng.integers(0, 100, 300).astype(np.int64)})
+        R = pd.DataFrame({"k": rng.integers(10, 55, 200).astype(np.int64),
+                          "y": np.arange(200, dtype=np.int64),
+                          "v": rng.integers(0, 100, 200).astype(np.int64)})
+        return L, R
+
+    @pytest.mark.parametrize("how,pd_how", [
+        ("inner", "inner"), ("left", "left"),
+        ("right", "right"), ("outer", "outer")])
+    def test_matches_pandas_merge(self, ray_session, how, pd_how):
+        import ray.data as rd
+
+        from datax_ray.ops.joins import hash_join
+
+        L, R = self._frames()
+        got = hash_join(rd.from_pandas(L).repartition(4),
+                        rd.from_pandas(R).repartition(3),
+                        on="k", how=how, num_partitions=8).to_pandas()
+        want = L.merge(R, on="k", how=pd_how, suffixes=("", "_r"))
+        want = want.rename(columns={"v_r": "v_r", "y": "y"})
+        cols = sorted(got.columns)
+        assert sorted(want.columns) == cols
+        a = got[cols].sort_values(cols, na_position="last",
+                                  kind="stable").reset_index(drop=True)
+        b = want[cols].sort_values(cols, na_position="last",
+                                   kind="stable").reset_index(drop=True)
+        assert len(a) == len(b)
+        for c in cols:
+            x, y = a[c].astype("float64"), b[c].astype("float64")
+            assert ((x == y) | (x.isna() & y.isna())).all(), (how, c)
+
+    @pytest.mark.parametrize("how", ["semi", "anti"])
+    def test_semi_anti(self, ray_session, how):
+        import ray.data as rd
+
+        from datax_ray.ops.joins import hash_join
+
+        L, R = self._frames(seed=21)
+        got = hash_join(rd.from_pandas(L).repartition(4),
+                        rd.from_pandas(R).repartition(3),
+                        on="k", how=how, num_partitions=8).to_pandas()
+        in_r = L["k"].isin(set(R["k"]))
+        want = L[in_r if how == "semi" else ~in_r]
+        assert sorted(zip(got.k, got.x, got.v)) == \
+            sorted(zip(want.k, want.x, want.v))
+
+    def test_missing_key_raises(self, ray_session):
+        import ray.data as rd
+
+        from datax_ray.ops.joins import hash_join
+
+        L, R = self._frames()
+        with pytest.raises(ValueError, match="join key"):
+            hash_join(rd.from_pandas(L),
+                      rd.from_pandas(R.rename(columns={"k": "kk"})), on="k")
