@@ -1112,6 +1112,32 @@ def q_cdc_time_travel(sf_dir: str):
     return out
 
 
+def q_cdc_table_changes(sf_dir: str):
+    """Change-data-feed OUT of the lake (sinks/lake.table_changes): replay
+    the derived changelog in 4 committed epochs, then emit the I/U/D set
+    that takes the epoch-1 snapshot to the final state — the Delta-CDF
+    analogue, one full-outer key join per partition, no shuffle. Oracle:
+    full join of the two LWW-folded states classified by winner (ts, lsn)
+    change."""
+    from datax_ray.cdc.replay import replay_files
+    from datax_ray.sinks.lake import table_changes
+
+    meta = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
+    n = meta.num_rows
+    work = f"/tmp/datax_ray_q/tablechanges_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(work, ignore_errors=True)
+    cl_dir = os.path.join(work, "cl")
+    lake = os.path.join(work, "lake")
+    _changelog(sf_dir).write_parquet(cl_dir)
+    replay_files(cl_dir, lake_dir=lake, max_lsn_exclusive=n,
+                 num_partitions=8, epoch_size=(n + 3) // 4, compact_every=0)
+    out = table_changes(lake, from_epoch=1, to_epoch=None)
+    return out.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "change_op", "role",
+                            "text", "tool", "ts", "lsn"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cdc_time_travel_retained(sf_dir: str):
     """Time travel SURVIVING compaction: replay in 8 epochs with
     compaction every 4 foldable deltas and ``keep_epochs=3`` retention
@@ -1264,6 +1290,32 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM (
   FROM changelog
   WHERE lsn < 2 * (((SELECT count(*) FROM events) + 3) // 4))
 WHERE rn = 1 AND op <> 'D'
+"""
+    ),
+    "cdc_table_changes": (
+        "WITH " + CHANGELOG_CTE.strip() + """,
+es AS (SELECT (((SELECT count(*) FROM events) + 3) // 4) AS sz),
+sa AS (
+  SELECT conv_id, turn_idx, ts, lsn FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changelog WHERE lsn < 2 * (SELECT sz FROM es))
+  WHERE rn = 1 AND op <> 'D'),
+sb AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts, lsn FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changelog)
+  WHERE rn = 1 AND op <> 'D')
+SELECT coalesce(b.conv_id, a.conv_id) AS conv_id,
+       coalesce(b.turn_idx, a.turn_idx) AS turn_idx,
+       CASE WHEN a.lsn IS NULL THEN 'I'
+            WHEN b.lsn IS NULL THEN 'D' ELSE 'U' END AS change_op,
+       b.role, b.text, b.tool, b.ts, b.lsn
+FROM sb b FULL JOIN sa a
+  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+WHERE a.lsn IS NULL OR b.lsn IS NULL
+   OR a.lsn <> b.lsn OR a.ts <> b.ts
 """
     ),
     "cdc_time_travel_retained": (
@@ -1743,6 +1795,7 @@ QUERIES = {
     "cdc_cell_assemble": q_cdc_cell_assemble,
     "cdc_bootstrap_tail": q_cdc_bootstrap_tail,
     "cdc_time_travel": q_cdc_time_travel,
+    "cdc_table_changes": q_cdc_table_changes,
     "cdc_time_travel_retained": q_cdc_time_travel_retained,
     "dx_substr": q_dx_substr,
     "dx_pad": q_dx_pad,

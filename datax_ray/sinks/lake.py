@@ -132,6 +132,83 @@ def read_lake_table(lake_dir: str, *, as_of_epoch: int | None = None) -> pa.Tabl
 
 
 
+def table_changes(lake_dir: str, *, from_epoch: int | None,
+                  to_epoch: int | None = None):
+    """Change-data-feed OUT of the lake (Delta CDF / Iceberg changelog
+    analogue): the I/U/D row set that takes the ``from_epoch`` snapshot to
+    the ``to_epoch`` snapshot — the engine ingests CDC and can re-emit it
+    downstream. ``from_epoch=None`` diffs from the empty table (all
+    inserts); ``to_epoch=None`` diffs to the current state.
+
+    One task per partition, NO shuffle (both snapshots fold from the same
+    key-partitioned files; `partition_files_as_of` is the snapshot index).
+    Per partition: fold both states, one zero-copy full-outer
+    ``pa.Table.join`` on the primary key, classify vectorized:
+    only-in-new → I, only-in-old → D, version (ts, lsn) changed → U
+    (an upsert that re-won with identical payload still changed version —
+    it IS a new winning write), identical version → no row. Rows carry
+    the AFTER image (nulls for D) plus the change op.
+
+    Raises (via ``partition_files_as_of``) if compaction already folded
+    history past a requested epoch — retain with ``keep_epochs``."""
+    import ray.data as rd
+
+    manifest = Manifest.load(lake_dir)
+    specs = []
+    for p in range(manifest.num_partitions):
+        files_a = ([] if from_epoch is None
+                   else manifest.partition_files_as_of(p, from_epoch))
+        files_b = (manifest.partition_files(p) if to_epoch is None
+                   else manifest.partition_files_as_of(p, to_epoch))
+        if files_a or files_b:
+            specs.append({"part": p, "files_a": files_a,
+                          "files_b": files_b})
+    from datax_ray.schema import TRANSCRIPT_SCHEMA
+
+    empty_out = TRANSCRIPT_SCHEMA.empty_table().append_column(
+        "change_op", pa.array([], pa.string()))
+    if not specs:
+        return rd.from_arrow(empty_out)
+
+    def diff(batch) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ta = fold_partition_files(list(batch["files_a"][0]),
+                                  drop_deletes=True)
+        tb = fold_partition_files(list(batch["files_b"][0]),
+                                  drop_deletes=True)
+        if tb is None and ta is None:
+            return empty_out
+        if tb is None:
+            tb = pa.schema(
+                [(n, t) for n, t in zip(ta.schema.names, ta.schema.types)]
+            ).empty_table()
+        if ta is None:
+            out = tb.append_column(
+                "change_op", pa.array(["I"] * tb.num_rows))
+            return out.sort_by([("conv_id", "ascending"),
+                                ("turn_idx", "ascending")])
+        a_keys = ta.select(["conv_id", "turn_idx", "ts", "lsn"]) \
+            .rename_columns(["conv_id", "turn_idx", "_ts_a", "_lsn_a"])
+        j = tb.join(a_keys, keys=["conv_id", "turn_idx"],
+                    join_type="full outer")
+        lsn_a = j["_lsn_a"]
+        is_i = pc.is_null(lsn_a)
+        is_d = pc.is_null(j["lsn"])
+        changed = pc.or_kleene(
+            pc.not_equal(j["lsn"], lsn_a), pc.not_equal(j["ts"], j["_ts_a"]))
+        op = pc.if_else(is_i, "I", pc.if_else(is_d, "D", pc.if_else(
+            pc.fill_null(changed, False), "U", pa.scalar(None, pa.string()))))
+        j = j.append_column("change_op", op)
+        j = j.filter(pc.is_valid(j["change_op"]))
+        j = j.drop_columns(["_ts_a", "_lsn_a"])
+        return j.sort_by([("conv_id", "ascending"),
+                          ("turn_idx", "ascending")])
+
+    return rd.from_items(specs).map_batches(diff, batch_size=1,
+                                            batch_format="pandas")
+
+
 def vacuum(lake_dir: str, *, dry_run: bool = False) -> list[str]:
     """Delete data files not referenced by the committed manifest — garbage
     from crashed runs (written-but-never-committed deltas), replaced

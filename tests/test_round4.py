@@ -510,3 +510,68 @@ class TestHashJoin:
         with pytest.raises(ValueError, match="join key"):
             hash_join(rd.from_pandas(L),
                       rd.from_pandas(R.rename(columns={"k": "kk"})), on="k")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTableChanges:
+    """Change-data-feed out of the lake: the I/U/D set between two
+    snapshots must APPLY cleanly — old state + changes == new state —
+    and from_epoch=None must equal the full state as inserts."""
+
+    def _lake(self, tmp_path):
+        from datax_ray.cdc.replay import replay_files
+        from datax_ray.sources.generators import (
+            ChangelogSpec,
+            write_changelog_parquet,
+        )
+
+        cl = str(tmp_path / "cl")
+        write_changelog_parquet(
+            ChangelogSpec(n_events=6000, n_convs=80, max_turns=8,
+                          n_blocks=2, p_delete=0.15, seed=31), cl)
+        lake = str(tmp_path / "lake")
+        replay_files(cl, lake_dir=lake, max_lsn_exclusive=6000,
+                     num_partitions=4, epoch_size=1500, compact_every=0)
+        return lake
+
+    def test_changes_apply_to_old_state(self, tmp_path):
+        from datax_ray.sinks.lake import read_lake_table, table_changes
+
+        lake = self._lake(tmp_path)
+        old = read_lake_table(lake, as_of_epoch=1).to_pandas()
+        new = read_lake_table(lake).to_pandas()
+        ch = table_changes(lake, from_epoch=1).to_pandas()
+        assert set(ch.change_op) <= {"I", "U", "D"}
+        # apply: drop D/U keys from old, add I/U after-images
+        key = ["conv_id", "turn_idx"]
+        touched = set(map(tuple, ch[key].values))
+        kept = old[~old[key].apply(tuple, axis=1).isin(touched)]
+        upserts = ch[ch.change_op.isin(["I", "U"])][new.columns.tolist()]
+        applied = (
+            pd.concat([kept, upserts], ignore_index=True)
+            .sort_values(key, kind="stable").reset_index(drop=True)
+        )
+        new = new.sort_values(key, kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(applied, new, check_dtype=False)
+        # I keys must be absent from old, D/U keys present
+        old_keys = set(map(tuple, old[key].values))
+        for _, r in ch.iterrows():
+            k = (r.conv_id, r.turn_idx)
+            assert (k not in old_keys) if r.change_op == "I" \
+                else (k in old_keys)
+
+    def test_from_none_is_full_insert_set(self, tmp_path):
+        from datax_ray.sinks.lake import read_lake_table, table_changes
+
+        lake = self._lake(tmp_path)
+        ch = table_changes(lake, from_epoch=None).to_pandas()
+        assert (ch.change_op == "I").all()
+        state = read_lake_table(lake).to_pandas()
+        assert len(ch) == len(state)
+
+    def test_same_epoch_diff_is_empty(self, tmp_path):
+        from datax_ray.sinks.lake import table_changes
+
+        lake = self._lake(tmp_path)
+        ch = table_changes(lake, from_epoch=3, to_epoch=3)
+        assert ch.count() == 0
