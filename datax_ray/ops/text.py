@@ -208,3 +208,71 @@ def add_simhash(batch: pa.Table, col: str = "text", out: str = "simhash") -> pa.
     from datax_ray.ops.hashing import simhash_batch
 
     return batch.append_column(out, pa.array(simhash_batch(batch[col])))
+
+
+def chunk_documents(batch: pa.Table, *, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 128,
+                    overlap: int = 16) -> pa.Table:
+    """Explode each document into overlapping token windows (context-length
+    prep for training): window ``i`` covers tokens
+    ``[i·stride, min(i·stride + chunk_tokens, n))`` with
+    ``stride = chunk_tokens − overlap``;
+    ``n ≤ chunk_tokens`` → one window, empty docs → none. Chunk text is
+    the window's tokens re-joined with single spaces (whitespace
+    normalization is part of the contract, same as the fingerprint op).
+
+    Fully vectorized map-only explode: one Arrow split per batch, window
+    index arithmetic in numpy, one flat token gather + one
+    ``binary_join`` — no per-doc Python. Output:
+    (id, chunk_idx, n_tokens, chunk_text)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    trimmed = pc.utf8_trim_whitespace(
+        pc.fill_null(batch[text_col].combine_chunks(), ""))
+    toks = pc.utf8_split_whitespace(trimmed)
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False
+                                            ).astype(np.int64)
+    n[pc.equal(trimmed, "").to_numpy(zero_copy_only=False)] = 0
+    n_chunks = np.where(
+        n == 0, 0,
+        np.where(n <= chunk_tokens, 1,
+                 -((n - chunk_tokens) // -stride) + 1))
+    doc_off = np.zeros(len(n) + 1, dtype=np.int64)
+    np.cumsum(n, out=doc_off[1:])
+    total = int(n_chunks.sum())
+    ids = batch[id_col].combine_chunks()
+    if total == 0:
+        return pa.table({
+            id_col: pa.array([], ids.type),
+            "chunk_idx": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        })
+    ends = np.cumsum(n_chunks)
+    doc_of = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+    idx = np.arange(total, dtype=np.int64) - np.repeat(ends - n_chunks,
+                                                       n_chunks)
+    starts = idx * stride
+    stops = np.minimum(starts + chunk_tokens, n[doc_of])
+    lens = stops - starts
+    # flat gather of every window's tokens
+    g_off = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(lens, out=g_off[1:])
+    within = np.arange(int(g_off[-1]), dtype=np.int64) - np.repeat(
+        g_off[:-1], lens)
+    flat_idx = np.repeat(doc_off[doc_of] + starts, lens) + within
+    flat = toks.flatten()
+    if (n == 0).any():  # drop the '' artifact token of all-ws docs
+        flat = flat.filter(pc.not_equal(flat, ""))
+    gathered = flat.take(pa.array(flat_idx))
+    # int32 list offsets: a single batch's gathered token count is far
+    # below 2^31 (batches are ~10k docs); LargeList would need a different
+    # join kernel
+    windows = pa.ListArray.from_arrays(pa.array(g_off, pa.int32()), gathered)
+    return pa.table({
+        id_col: ids.take(pa.array(doc_of)),
+        "chunk_idx": pa.array(idx),
+        "n_tokens": pa.array(lens),
+        "chunk_text": pc.binary_join(windows, " "),
+    })

@@ -665,6 +665,18 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(ds, n=3, threshold=0.1, num_partitions=16)
 
 
+def q_chunk_documents(sf_dir: str):
+    """Context-window chunking (training prep): each document exploded
+    into overlapping 32-token windows (stride 24) — one vectorized Arrow
+    split + flat gather + binary_join per batch, map-only (no shuffle)."""
+    from datax_ray.ops.text import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: chunk_documents(t, chunk_tokens=32, overlap=8),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_dedup_exact(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return exact_dedup(ds, num_partitions=8)
@@ -1511,6 +1523,22 @@ WITH c AS (
 SELECT e.event_id, c.campaign_id, c.lo, c.hi
 FROM events e JOIN c ON e.ts >= c.lo AND e.ts < c.hi
 """.strip(),
+    "chunk_documents": r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    CASE WHEN len(toks) = 0 THEN 0
+         WHEN len(toks) <= 32 THEN 1
+         ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS nc
+  FROM w), x AS (
+  SELECT doc_id, toks, n, unnest(range(nc)) AS i FROM c)
+SELECT doc_id, i AS chunk_idx,
+  least(i * 24 + 32, n) - i * 24 AS n_tokens,
+  array_to_string(toks[i * 24 + 1 : least(i * 24 + 32, n)], ' ')
+    AS chunk_text
+FROM x
+""".strip(),
     "ngram_jaccard_pairs": r"""
 WITH w AS (
   SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks FROM documents
@@ -1822,6 +1850,7 @@ QUERIES = {
     "asof_clicks_views": q_asof_clicks_views,
     "asof_tolerance_broadcast": q_asof_tolerance_broadcast,
     "interval_join_campaigns": q_interval_join_campaigns,
+    "chunk_documents": q_chunk_documents,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_exact": q_dedup_exact,
     "text_tokens": q_text_tokens,

@@ -575,3 +575,56 @@ class TestTableChanges:
         lake = self._lake(tmp_path)
         ch = table_changes(lake, from_epoch=3, to_epoch=3)
         assert ch.count() == 0
+
+
+class TestChunkDocuments:
+    """Token-window chunking: coverage/overlap invariants + a scalar
+    reference implementation over tricky whitespace."""
+
+    def _ref(self, texts, chunk, overlap):
+        stride = chunk - overlap
+        rows = []
+        for i, s in enumerate(texts):
+            toks = (s or "").split()
+            n = len(toks)
+            if n == 0:
+                continue
+            nc = 1 if n <= chunk else -((n - chunk) // -stride) + 1
+            for c in range(nc):
+                w = toks[c * stride: min(c * stride + chunk, n)]
+                rows.append((i, c, len(w), " ".join(w)))
+        return rows
+
+    def test_matches_reference(self):
+        from datax_ray.ops.text import chunk_documents
+
+        texts = TRICKY + ["w" + " w" * 299]  # 300 tokens → many windows
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        for chunk, overlap in [(4, 1), (16, 8), (128, 16)]:
+            out = chunk_documents(t, chunk_tokens=chunk, overlap=overlap)
+            got = list(zip(*(out[c].to_pylist() for c in out.column_names)))
+            assert got == self._ref(texts, chunk, overlap), (chunk, overlap)
+
+    def test_windows_cover_every_token(self):
+        from datax_ray.ops.text import chunk_documents
+
+        toks = [f"t{i}" for i in range(257)]
+        t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array([" ".join(toks)])})
+        out = chunk_documents(t, chunk_tokens=64, overlap=16).to_pandas()
+        covered = set()
+        for _, r in out.iterrows():
+            covered.update(r.chunk_text.split())
+        assert covered == set(toks)
+        assert (out.n_tokens <= 64).all()
+        # consecutive windows overlap by exactly `overlap` except the tail
+        assert out.chunk_idx.tolist() == list(range(len(out)))
+
+    def test_overlap_ge_chunk_raises(self):
+        from datax_ray.ops.text import chunk_documents
+
+        t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array(["a b"])})
+        with pytest.raises(ValueError):
+            chunk_documents(t, chunk_tokens=8, overlap=8)
