@@ -1,0 +1,112 @@
+"""Distributed prefix sum (scan) + sequence packing.
+
+Ray Data has no running-total primitive; this is the classic two-phase
+scan, expressed Dataset-first:
+
+1. range-bucket rows by the order key (``key // bucket`` — contiguous key
+   ranges stay together, so within-partition order is recoverable by a
+   local sort);
+2. phase 1: per-batch PARTIAL sums per bucket (a combiner — only
+   (bucket, partial_sum) rows move), folded into per-bucket totals whose
+   exclusive cumsum = each bucket's global starting offset (driver-side:
+   n_buckets values, tiny by construction);
+3. phase 2: one ``map_groups`` per bucket — local sort + local cumsum +
+   broadcast bucket offset = the EXACT global running total, no
+   sequential pass over the dataset anywhere.
+
+Partitioning assumption (stated): the order key is roughly uniform over
+its range so ``bucket_size`` splits the scan into ~even buckets; at 100 TB
+pick buckets ≈ a few million keys so the driver's offset table stays tiny
+while each bucket still fits a task.
+
+``assign_pack_bins`` builds greedy sequence packing on top: bin =
+``running_total_before_doc // budget`` — the concatenate-then-split
+packing LLM training prep uses (a doc may straddle two bins' boundary;
+the bin a doc STARTS in is its bin). Deterministic, order-defined,
+SQL-oracle-able (a window cumsum).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _bucket_totals(ds, *, key_col: str, value_col: str,
+                   bucket_size: int) -> dict[int, int]:
+    """Phase 1: per-bucket value totals via per-batch combiners; returns
+    {bucket: exclusive_global_offset} (driver holds n_buckets ints)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        k = np.asarray(t[key_col]).astype(np.int64) // bucket_size
+        v = np.asarray(t[value_col]).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        sums = np.add.reduceat(v, starts) if len(v) else np.zeros(0, np.int64)
+        return pa.table({"bucket": pa.array(k[starts]),
+                         "partial": pa.array(sums)})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    totals = parts.groupby("bucket")["partial"].sum().sort_index()
+    offsets = totals.cumsum().shift(fill_value=0)
+    return {int(b): int(o) for b, o in offsets.items()}
+
+
+def prefix_sum(ds, *, key_col: str, value_col: str,
+               out_col: str = "running_total", bucket_size: int = 1024,
+               exclusive: bool = True):
+    """Global running total of ``value_col`` in ``key_col`` order (keys
+    must be unique integers — e.g. doc_id): two-phase distributed scan,
+    one shuffle, no sequential stage. ``exclusive`` (default) = sum of
+    all STRICTLY-earlier rows (the offset where this row starts);
+    inclusive otherwise."""
+    import ray
+
+    offsets = _bucket_totals(ds, key_col=key_col, value_col=value_col,
+                             bucket_size=bucket_size)
+    ref = ray.put(offsets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = np.asarray(t[key_col]).astype(np.int64) // bucket_size
+        return t.append_column("_bucket", pa.array(b.astype(np.int32)))
+
+    def scan(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.drop_columns(["_bucket"]).append_column(
+                out_col, pa.array([], pa.int64()))
+        off = ray.get(ref)
+        g = g.sort_by([(key_col, "ascending")])
+        v = np.asarray(g[value_col]).astype(np.int64)
+        csum = np.cumsum(v)
+        run = (csum - v) if exclusive else csum
+        b = int(g["_bucket"][0].as_py())
+        run += off.get(b, 0)
+        return g.drop_columns(["_bucket"]).append_column(
+            out_col, pa.array(run))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_bucket").map_groups(scan, batch_format="pyarrow"))
+
+
+def assign_pack_bins(ds, *, key_col: str, value_col: str, budget: int,
+                     bucket_size: int = 1024):
+    """Greedy concatenate-then-split sequence packing: documents in
+    ``key_col`` order are packed into bins of ``budget`` tokens; a doc's
+    bin is where its running offset starts (``offset // budget``) and
+    ``bin_offset`` is its position inside the bin. One distributed scan +
+    one vectorized map — no sequential pass."""
+    scanned = prefix_sum(ds, key_col=key_col, value_col=value_col,
+                         out_col="_offset", bucket_size=bucket_size,
+                         exclusive=True)
+
+    def bins(t: pa.Table) -> pa.Table:
+        off = np.asarray(t["_offset"]).astype(np.int64)
+        return (t.append_column("bin_id", pa.array(off // budget))
+                 .append_column("bin_offset", pa.array(off % budget))
+                 .drop_columns(["_offset"]))
+
+    return scanned.map_batches(bins, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -665,6 +665,22 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(ds, n=3, threshold=0.1, num_partitions=16)
 
 
+def q_pack_documents(sf_dir: str):
+    """Greedy sequence packing (concatenate-then-split, the LLM training
+    prep rule): documents in doc_id order packed into 256-token bins via
+    the distributed two-phase scan (ops/scan.prefix_sum — per-bucket
+    combiners, driver folds only n_buckets offsets, no sequential pass)."""
+    from datax_ray.ops.scan import assign_pack_bins
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    with_counts = ds.map_batches(
+        lambda t: add_token_counts(t).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return assign_pack_bins(with_counts, key_col="doc_id",
+                            value_col="n_tokens", budget=256,
+                            bucket_size=128)
+
+
 def q_chunk_documents(sf_dir: str):
     """Context-window chunking (training prep): each document exploded
     into overlapping 32-token windows (stride 24) — one vectorized Arrow
@@ -1523,6 +1539,19 @@ WITH c AS (
 SELECT e.event_id, c.campaign_id, c.lo, c.hi
 FROM events e JOIN c ON e.ts >= c.lo AND e.ts < c.hi
 """.strip(),
+    "pack_documents": r"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t)
+SELECT doc_id, n_tokens, off // 256 AS bin_id, off % 256 AS bin_offset
+FROM s
+""".strip(),
     "chunk_documents": r"""
 WITH w AS (
   SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks FROM documents
@@ -1850,6 +1879,7 @@ QUERIES = {
     "asof_clicks_views": q_asof_clicks_views,
     "asof_tolerance_broadcast": q_asof_tolerance_broadcast,
     "interval_join_campaigns": q_interval_join_campaigns,
+    "pack_documents": q_pack_documents,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_exact": q_dedup_exact,

@@ -628,3 +628,54 @@ class TestChunkDocuments:
                       "text": pa.array(["a b"])})
         with pytest.raises(ValueError):
             chunk_documents(t, chunk_tokens=8, overlap=8)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedScan:
+    """Two-phase prefix sum vs numpy cumsum on shuffled keys, plus the
+    packing invariants built on it."""
+
+    def _ds(self, n=5000, seed=5, parts=6):
+        import ray.data as rd
+
+        rng = np.random.default_rng(seed)
+        self.keys = rng.permutation(n).astype(np.int64)
+        self.vals = rng.integers(1, 200, n).astype(np.int64)
+        t = pa.table({"k": pa.array(self.keys), "v": pa.array(self.vals)})
+        return rd.from_arrow(t).repartition(parts)
+
+    @pytest.mark.parametrize("exclusive", [True, False])
+    def test_prefix_sum_matches_cumsum(self, exclusive):
+        from datax_ray.ops.scan import prefix_sum
+
+        out = prefix_sum(self._ds(), key_col="k", value_col="v",
+                         bucket_size=512, exclusive=exclusive
+                         ).to_pandas().sort_values("k")
+        v = self.vals[np.argsort(self.keys)]
+        want = np.cumsum(v) if not exclusive else np.cumsum(v) - v
+        np.testing.assert_array_equal(out.running_total.values, want)
+
+    def test_bucket_size_invariance(self):
+        from datax_ray.ops.scan import prefix_sum
+
+        a = prefix_sum(self._ds(), key_col="k", value_col="v",
+                       bucket_size=64).to_pandas().sort_values("k")
+        b = prefix_sum(self._ds(), key_col="k", value_col="v",
+                       bucket_size=4096).to_pandas().sort_values("k")
+        np.testing.assert_array_equal(a.running_total.values,
+                                      b.running_total.values)
+
+    def test_pack_bins_invariants(self):
+        from datax_ray.ops.scan import assign_pack_bins
+
+        budget = 1000
+        out = assign_pack_bins(self._ds(), key_col="k", value_col="v",
+                               budget=budget, bucket_size=512
+                               ).to_pandas().sort_values("k")
+        v = self.vals[np.argsort(self.keys)]
+        off = np.cumsum(v) - v
+        np.testing.assert_array_equal(out.bin_id.values, off // budget)
+        np.testing.assert_array_equal(out.bin_offset.values, off % budget)
+        # bins are monotone in key order and start where the previous ends
+        assert (np.diff(out.bin_id.values) >= 0).all()
+        assert (out.bin_offset.values < budget).all()
