@@ -665,6 +665,30 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(ds, n=3, threshold=0.1, num_partitions=16)
 
 
+def q_group_quantiles(sf_dir: str):
+    """Exact per-group percentile_cont quantiles (ops/agg.group_quantiles):
+    one hash shuffle of (key, value), one vectorized sort+gather kernel
+    per partition for all groups × quantiles at once — the exact
+    counterpart of the KLL sketch."""
+    from datax_ray.ops.agg import group_quantiles
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    return group_quantiles(ds, key_col="o_orderpriority",
+                           value_col="o_totalprice",
+                           quantiles=(0.25, 0.5, 0.75), num_partitions=8)
+
+
+def q_assemble_conversations(sf_dir: str):
+    """Transcripts-native: LWW-merge the derived changelog, then fold each
+    conversation's turns into one document row (turns joined by newline in
+    turn_idx order) — the merge → assemble composition a transcript corpus
+    pipeline runs before text analysis."""
+    from datax_ray.ops.agg import assemble_conversations
+
+    state = lww_merge(_changelog(sf_dir), num_partitions=16)
+    return assemble_conversations(state, num_partitions=8)
+
+
 def q_pack_documents(sf_dir: str):
     """Greedy sequence packing (concatenate-then-split, the LLM training
     prep rule): documents in doc_id order packed into 256-token bins via
@@ -1539,6 +1563,24 @@ WITH c AS (
 SELECT e.event_id, c.campaign_id, c.lo, c.hi
 FROM events e JOIN c ON e.ts >= c.lo AND e.ts < c.hi
 """.strip(),
+    "group_quantiles": """
+SELECT o_orderpriority, unnest([0.25, 0.5, 0.75]) AS q,
+  round(unnest(quantile_cont(o_totalprice, [0.25, 0.5, 0.75])), 6) AS value
+FROM orders GROUP BY o_orderpriority
+""".strip(),
+    "assemble_conversations": (
+        "WITH " + CHANGELOG_CTE.strip() + """,
+won AS (
+  SELECT conv_id, turn_idx, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changelog)
+  WHERE rn = 1 AND op <> 'D')
+SELECT conv_id, count(*) AS n_turns,
+  string_agg(coalesce(text, ''), chr(10) ORDER BY turn_idx) AS full_text
+FROM won GROUP BY conv_id
+"""
+    ),
     "pack_documents": r"""
 WITH t AS (
   SELECT doc_id,
@@ -1879,6 +1921,8 @@ QUERIES = {
     "asof_clicks_views": q_asof_clicks_views,
     "asof_tolerance_broadcast": q_asof_tolerance_broadcast,
     "interval_join_campaigns": q_interval_join_campaigns,
+    "group_quantiles": q_group_quantiles,
+    "assemble_conversations": q_assemble_conversations,
     "pack_documents": q_pack_documents,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

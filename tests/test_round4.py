@@ -679,3 +679,70 @@ class TestDistributedScan:
         # bins are monotone in key order and start where the previous ends
         assert (np.diff(out.bin_id.values) >= 0).all()
         assert (out.bin_offset.values < budget).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedAgg:
+    """Exact grouped quantiles vs numpy percentile (linear interpolation)
+    and conversation assembly vs a pandas reference."""
+
+    def test_group_quantiles_matches_numpy(self):
+        import ray.data as rd
+
+        from datax_ray.ops.agg import group_quantiles
+
+        rng = np.random.default_rng(8)
+        k = rng.integers(0, 12, 3000).astype(np.int64)
+        v = rng.random(3000) * 1000
+        null = rng.random(3000) < 0.05  # nulls excluded (SQL semantics)
+        t = pa.table({"k": pa.array(k), "v": pa.array(v, mask=null)})
+        v[null] = np.nan
+        out = group_quantiles(
+            rd.from_arrow(t).repartition(5), key_col="k", value_col="v",
+            quantiles=(0.1, 0.5, 0.9), num_partitions=4
+        ).to_pandas().sort_values(["k", "q"]).reset_index(drop=True)
+        for key in range(12):
+            vals = v[(k == key) & ~np.isnan(v)]
+            for q in (0.1, 0.5, 0.9):
+                want = round(float(np.percentile(vals, q * 100)), 6)
+                got = out[(out.k == key) & (out.q == q)].value.iloc[0]
+                assert got == pytest.approx(want, abs=1e-6), (key, q)
+
+    def test_singleton_groups(self):
+        import ray.data as rd
+
+        from datax_ray.ops.agg import group_quantiles
+
+        t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                      "v": pa.array([10.0, 20.0])})
+        out = group_quantiles(rd.from_arrow(t), key_col="k", value_col="v",
+                              quantiles=(0.0, 0.5, 1.0)).to_pandas()
+        assert (out[out.k == 1].value == 10.0).all()
+        assert (out[out.k == 2].value == 20.0).all()
+
+    def test_assemble_conversations(self):
+        import ray.data as rd
+
+        from datax_ray.ops.agg import assemble_conversations
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for c in range(20):
+            for tix in rng.permutation(rng.integers(1, 9)):
+                rows.append((f"conv_{c}", int(tix),
+                             None if rng.random() < 0.1 else
+                             f"text {c} {tix}"))
+        rng.shuffle(rows)
+        t = pa.table({"conv_id": pa.array([r[0] for r in rows]),
+                      "turn_idx": pa.array([r[1] for r in rows],
+                                           pa.int32()),
+                      "text": pa.array([r[2] for r in rows], pa.string())})
+        out = assemble_conversations(
+            rd.from_arrow(t).repartition(4), num_partitions=4
+        ).to_pandas().set_index("conv_id")
+        df = t.to_pandas()
+        for conv, grp in df.groupby("conv_id"):
+            grp = grp.sort_values("turn_idx")
+            want = "\n".join(grp.text.fillna(""))
+            assert out.loc[conv, "full_text"] == want
+            assert out.loc[conv, "n_turns"] == len(grp)
