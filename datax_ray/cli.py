@@ -190,6 +190,50 @@ def _run_lake_upsert(reader_p: dict, writer_p: dict, resume: bool,
     dead-letter file while skipped committed epochs are excluded."""
     from datax_ray.cdc.replay import dead_letter_rows_for_ranges, replay_files
 
+    tail_p = reader_p.get("tail")
+    if tail_p is not None:
+        # tail mode: reader.parameter.tail = {pollInterval, idlePolls,
+        # maxPolls} — poll for events beyond the manifest high-water mark
+        # and replay each new lsn range (cdc/replay.tail_files); no
+        # maxLsnExclusive needed, the footer scan discovers it
+        from datax_ray.cdc.replay import tail_files
+        from datax_ray.state.manifest import Manifest
+
+        tr = tail_files(
+            reader_p["path"],
+            lake_dir=writer_p["path"],
+            num_partitions=writer_p.get("numPartitions", 64),
+            epoch_size=reader_p.get("epochSize"),
+            poll_interval=tail_p.get("pollInterval", 1.0),
+            idle_polls=tail_p.get("idlePolls", 3),
+            max_polls=tail_p.get("maxPolls"),
+            compact_every=writer_p.get("compactEvery", 8),
+            keep_epochs=writer_p.get("keepEpochs", 0),
+            run_id=writer_p.get("runId"),
+            verbose=verbose,
+            transform_specs=transform_specs,
+            dead_letter_dir=dead_letter_dir,
+            record_rate=record_rate,
+            byte_rate=byte_rate,
+            error_limit=error_limit,
+        )
+        try:
+            metrics = Manifest.load(writer_p["path"]).metrics_by_partition()
+        except FileNotFoundError:
+            metrics = {}   # tail saw no data: no lake was created
+        dirty = dead_letter_rows_for_ranges(
+            dead_letter_dir, [(0, tr.last_lsn_exclusive)])
+        totals = {"input": tr.events_applied + dirty, "dirty": dirty}
+        return {
+            "tail": True,
+            "polls": tr.polls,
+            "replays": tr.replays,
+            "events_applied": tr.events_applied,
+            "last_lsn_exclusive": tr.last_lsn_exclusive,
+            "dead_lettered": dirty,
+            "partition_metrics": metrics,
+        }, totals
+
     res = replay_files(
         reader_p["path"],
         lake_dir=writer_p["path"],

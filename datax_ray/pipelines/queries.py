@@ -689,6 +689,31 @@ def q_assemble_conversations(sf_dir: str):
     return assemble_conversations(state, num_partitions=8)
 
 
+def q_ivm_conv_stats(sf_dir: str):
+    """Incrementally-maintained aggregate view (cdc/ivm.py): replay the
+    derived changelog into a 4-epoch lake, materialize the per-conv stats
+    view AS OF epoch 1, then advance it to the current epoch — the
+    advance recomputes ONLY conversations touched by epochs 2-3 (cost ∝
+    changed groups, zero shuffle). Oracle: plain GROUP BY over the final
+    LWW state — incremental must equal full recompute."""
+    from datax_ray.cdc.ivm import read_view, refresh_view
+    from datax_ray.cdc.replay import replay_files
+
+    meta = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
+    n = meta.num_rows
+    work = f"/tmp/datax_ray_q/ivm_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(work, ignore_errors=True)
+    cl_dir = os.path.join(work, "cl")
+    lake = os.path.join(work, "lake")
+    _changelog(sf_dir).write_parquet(cl_dir)
+    replay_files(cl_dir, lake_dir=lake, max_lsn_exclusive=n,
+                 num_partitions=8, epoch_size=(n + 3) // 4, compact_every=0)
+    view_dir = os.path.join(work, "view")
+    refresh_view(lake, view_dir, to_epoch=1)   # snapshot view at epoch 1
+    refresh_view(lake, view_dir)               # incremental advance
+    return read_view(view_dir)
+
+
 def q_pack_documents(sf_dir: str):
     """Greedy sequence packing (concatenate-then-split, the LLM training
     prep rule): documents in doc_id order packed into 256-token bins via
@@ -1581,6 +1606,21 @@ SELECT conv_id, count(*) AS n_turns,
 FROM won GROUP BY conv_id
 """
     ),
+    "ivm_conv_stats": (
+        "WITH " + CHANGELOG_CTE.strip() + """,
+won AS (
+  SELECT conv_id, role, text, ts FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changelog)
+  WHERE rn = 1 AND op <> 'D')
+SELECT conv_id, count(*) AS n_turns,
+  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+  CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS text_chars,
+  max(ts) AS last_ts
+FROM won GROUP BY conv_id
+"""
+    ),
     "pack_documents": r"""
 WITH t AS (
   SELECT doc_id,
@@ -1923,6 +1963,7 @@ QUERIES = {
     "interval_join_campaigns": q_interval_join_campaigns,
     "group_quantiles": q_group_quantiles,
     "assemble_conversations": q_assemble_conversations,
+    "ivm_conv_stats": q_ivm_conv_stats,
     "pack_documents": q_pack_documents,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

@@ -746,3 +746,212 @@ class TestGroupedAgg:
             want = "\n".join(grp.text.fillna(""))
             assert out.loc[conv, "full_text"] == want
             assert out.loc[conv, "n_turns"] == len(grp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalView:
+    """IVM: the incrementally-refreshed aggregate view must equal a full
+    rebuild AND the groupby over the current lake state; a refresh must
+    only recompute changed conversations; fully-deleted conversations
+    must drop out of the view."""
+
+    def _lake(self, tmp_path):
+        from datax_ray.cdc.replay import replay_files
+        from datax_ray.sources.generators import (
+            ChangelogSpec,
+            write_changelog_parquet,
+        )
+
+        cl = str(tmp_path / "cl")
+        write_changelog_parquet(
+            ChangelogSpec(n_events=8000, n_convs=60, max_turns=8,
+                          n_blocks=2, p_delete=0.2, seed=77), cl)
+        lake = str(tmp_path / "lake")
+        replay_files(cl, lake_dir=lake, max_lsn_exclusive=8000,
+                     num_partitions=4, epoch_size=2000, compact_every=0)
+        return lake
+
+    def _expected(self, state_df):
+        g = state_df.groupby("conv_id")
+        return pd.DataFrame({
+            "n_turns": g.size(),
+            "n_user": g.role.apply(lambda r: int((r == "user").sum())),
+            "text_chars": g.text.apply(
+                lambda t: int(t.fillna("").str.len().sum())),
+            "last_ts": g.ts.max(),
+        }).reset_index().sort_values("conv_id").reset_index(drop=True)
+
+    def test_incremental_equals_full_and_groundtruth(self, tmp_path):
+        from datax_ray.cdc.ivm import read_view, refresh_view
+        from datax_ray.sinks.lake import read_lake_table
+
+        lake = self._lake(tmp_path)
+        inc_dir, full_dir = str(tmp_path / "v_inc"), str(tmp_path / "v_full")
+        # incremental: build at epoch 1, then advance to current
+        st = refresh_view(lake, inc_dir, to_epoch=1)
+        assert st["as_of_epoch"] == 1
+        st = refresh_view(lake, inc_dir)
+        assert st["as_of_epoch"] == 3
+        # full rebuild straight to current
+        refresh_view(lake, full_dir)
+        cols = ["conv_id", "n_turns", "n_user", "text_chars", "last_ts"]
+        inc = read_view(inc_dir).to_pandas().sort_values(
+            "conv_id").reset_index(drop=True)[cols]
+        full = read_view(full_dir).to_pandas().sort_values(
+            "conv_id").reset_index(drop=True)[cols]
+        pd.testing.assert_frame_equal(inc, full)
+        want = self._expected(read_lake_table(lake).to_pandas())[cols]
+        pd.testing.assert_frame_equal(inc, want, check_dtype=False)
+
+    def test_refresh_idempotent_and_prunes(self, tmp_path):
+        from datax_ray.cdc.ivm import read_view, refresh_view
+
+        lake = self._lake(tmp_path)
+        vd = str(tmp_path / "v")
+        refresh_view(lake, vd, to_epoch=2)
+        st1 = refresh_view(lake, vd)
+        before = read_view(vd).to_pandas()
+        st2 = refresh_view(lake, vd)  # no-op: already at current epoch
+        assert st1["as_of_epoch"] == st2["as_of_epoch"]
+        pd.testing.assert_frame_equal(before, read_view(vd).to_pandas())
+        # superseded view-{epoch} files were pruned post-commit
+        import glob
+        files = glob.glob(os.path.join(vd, "part=*", "view-*.parquet"))
+        assert set(files) == set(st1["files"].values())
+
+    def test_deleted_conversation_leaves_view(self, tmp_path):
+        """Manually delete every turn of one conversation in a tail epoch:
+        the incremental refresh must drop its row."""
+        from datax_ray.cdc.ivm import read_view, refresh_view
+        from datax_ray.cdc.replay import replay_files
+        from datax_ray.sinks.lake import read_lake_table
+
+        lake = self._lake(tmp_path)
+        vd = str(tmp_path / "v")
+        refresh_view(lake, vd)
+        view0 = read_view(vd).to_pandas()
+        victim = sorted(view0.conv_id)[0]
+        state = read_lake_table(lake).to_pandas()
+        turns = state[state.conv_id == victim]
+        # append a delete-only epoch for the victim's turns
+        tail = pa.table({
+            "lsn": pa.array(range(8000, 8000 + len(turns)), pa.int64()),
+            "op": pa.array(["D"] * len(turns)),
+            "conv_id": pa.array([victim] * len(turns)),
+            "turn_idx": pa.array(turns.turn_idx.values, pa.int32()),
+            "role": pa.array([None] * len(turns), pa.string()),
+            "text": pa.array([None] * len(turns), pa.string()),
+            "tool": pa.array([None] * len(turns), pa.string()),
+            "ts": pa.array(
+                [pd.to_datetime(turns.ts.max()) + pd.Timedelta(hours=1)]
+                * len(turns)
+            ).cast(pa.timestamp("ms")),
+        })
+        cl2 = str(tmp_path / "cl2")
+        os.makedirs(cl2)
+        pq.write_table(tail, os.path.join(cl2, "tail.parquet"))
+        replay_files(cl2, lake_dir=lake,
+                     max_lsn_exclusive=8000 + len(turns),
+                     num_partitions=4, epoch_size=len(turns),
+                     compact_every=0)
+        st = refresh_view(lake, vd)
+        view1 = read_view(vd).to_pandas()
+        assert victim in set(view0.conv_id)
+        assert victim not in set(view1.conv_id)
+        assert len(view1) == len(view0) - 1
+        assert st["as_of_epoch"] == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTailMode:
+    """Continuous WAL-tail: chunks appearing over time are applied
+    incrementally (several replays), the final lake equals one batch
+    replay of the whole log (exactly-once across polls), and an
+    interrupted tail resumes from the manifest high-water mark."""
+
+    def _chunks(self, tmp_path, n_events=6000, n_chunks=3):
+        from datax_ray.sources.generators import (
+            ChangelogSpec,
+            write_changelog_parquet,
+        )
+
+        full = str(tmp_path / "full")
+        write_changelog_parquet(
+            ChangelogSpec(n_events=n_events, n_convs=50, max_turns=8,
+                          n_blocks=1, p_delete=0.1, seed=5), full)
+        t = pa.concat_tables(
+            [pq.read_table(f) for f in sorted(
+                __import__("glob").glob(os.path.join(full, "*.parquet")))]
+        ).sort_by([("lsn", "ascending")])
+        per = n_events // n_chunks
+        chunks = [t.slice(i * per, per if i < n_chunks - 1 else n_events)
+                  for i in range(n_chunks)]
+        return full, chunks
+
+    def test_tail_applies_incrementally_and_matches_batch(self, tmp_path):
+        import threading
+
+        from datax_ray.cdc.replay import replay_files, tail_files
+        from datax_ray.sinks.lake import read_lake_table
+
+        full, chunks = self._chunks(tmp_path)
+        live = str(tmp_path / "live")
+        os.makedirs(live)
+
+        def feed():
+            for i, c in enumerate(chunks):
+                tmp = os.path.join(live, f".chunk-{i}.tmp")
+                pq.write_table(c, tmp)
+                os.replace(tmp, os.path.join(live, f"chunk-{i}.parquet"))
+                import time
+                time.sleep(0.6)
+
+        w = threading.Thread(target=feed)
+        w.start()
+        lake = str(tmp_path / "lake_tail")
+        res = tail_files(live, lake_dir=lake, num_partitions=4,
+                         epoch_size=1000, poll_interval=0.2, idle_polls=8)
+        w.join()
+        assert res.replays >= 2, "tail should have applied multiple ranges"
+        assert res.events_applied == 6000
+        assert res.last_lsn_exclusive == 6000
+        # byte-equal to a one-shot batch replay of the same log
+        lake_b = str(tmp_path / "lake_batch")
+        replay_files(full, lake_dir=lake_b, max_lsn_exclusive=6000,
+                     num_partitions=4, epoch_size=1000)
+        a = read_lake_table(lake).to_pandas().sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True)
+        b = read_lake_table(lake_b).to_pandas().sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_tail_resumes_from_manifest(self, tmp_path):
+        from datax_ray.cdc.replay import tail_files
+        from datax_ray.sinks.lake import read_lake_table
+
+        full, chunks = self._chunks(tmp_path)
+        live = str(tmp_path / "live")
+        os.makedirs(live)
+        pq.write_table(chunks[0], os.path.join(live, "chunk-0.parquet"))
+        lake = str(tmp_path / "lake")
+        r1 = tail_files(live, lake_dir=lake, num_partitions=4,
+                        epoch_size=1000, poll_interval=0.05, idle_polls=2)
+        assert r1.last_lsn_exclusive == 2000
+        # "restart": new tail instance sees the manifest high-water mark,
+        # applies only the two new chunks
+        for i in (1, 2):
+            pq.write_table(chunks[i], os.path.join(live, f"chunk-{i}.parquet"))
+        r2 = tail_files(live, lake_dir=lake, num_partitions=4,
+                        epoch_size=1000, poll_interval=0.05, idle_polls=2)
+        assert r2.events_applied == 4000
+        assert r2.last_lsn_exclusive == 6000
+        assert len(read_lake_table(lake).to_pandas()) > 0
+
+    def test_tail_idle_exit_without_data(self, tmp_path):
+        from datax_ray.cdc.replay import tail_files
+
+        live = str(tmp_path / "empty")
+        os.makedirs(live)
+        res = tail_files(live, lake_dir=str(tmp_path / "lake"),
+                         poll_interval=0.01, idle_polls=3)
+        assert res.replays == 0 and res.polls == 3
