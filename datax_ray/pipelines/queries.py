@@ -196,6 +196,18 @@ def q_cdc_op_counts(sf_dir: str):
     return _changelog(sf_dir).groupby("op").aggregate(Count(alias_name="n"))
 
 
+def q_cdc_scd2_history(sf_dir: str):
+    """SCD Type-2 version history (cdc/scd.py): every I/U change becomes
+    a version row with a [valid_from, valid_to) interval closed by the
+    next change on its (conv_id, turn_idx) key; deletes close without
+    opening. One shuffle + a vectorized sort/shifted-compare kernel per
+    partition. Oracle: lead() window over the same changelog."""
+    from datax_ray.cdc.scd import scd2_history
+
+    return scd2_history(_changelog(sf_dir), num_partitions=16,
+                        salt_by_turn=True)
+
+
 # ------------------------------------------------------------- transforms
 def _rename(ds, mapping: dict[str, str]):
     def f(t: pa.Table) -> pa.Table:
@@ -1322,6 +1334,20 @@ ORACLES: dict[str, str] = {
         "WITH " + CHANGELOG_CTE.strip()
         + "\nSELECT op, count(*) AS n FROM changelog GROUP BY op"
     ),
+    "cdc_scd2_history": (
+        "WITH " + CHANGELOG_CTE.strip() + """,
+ordered AS (
+  SELECT *,
+    lead(ts)  OVER w AS valid_to,
+    lead(lsn) OVER w AS closed_by_lsn
+  FROM changelog
+  WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY ts, lsn))
+SELECT conv_id, turn_idx, role, text, tool,
+  ts AS valid_from, valid_to, lsn AS version_lsn, closed_by_lsn,
+  (valid_to IS NULL) AS is_current
+FROM ordered WHERE op <> 'D'
+"""
+    ),
     # evolution point = num_rows // 2 (q_cdc_schema_evolution), tool_args is
     # a CASE over (lsn, role); fold then keeps the winner's evolved columns
     "cdc_schema_evolution": (
@@ -1631,7 +1657,9 @@ s AS (
     COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
   FROM t)
-SELECT doc_id, n_tokens, off // 256 AS bin_id, off % 256 AS bin_offset
+SELECT doc_id, n_tokens,
+  CAST(off // 256 AS BIGINT) AS bin_id,
+  CAST(off % 256 AS BIGINT) AS bin_offset
 FROM s
 """.strip(),
     "chunk_documents": r"""
@@ -1929,6 +1957,7 @@ QUERIES = {
     "cdc_dup_redelivery": q_cdc_dup_redelivery,
     "cdc_window": q_cdc_window,
     "cdc_op_counts": q_cdc_op_counts,
+    "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "cdc_cell_versions": q_cdc_cell_versions,
     "cdc_cell_assemble": q_cdc_cell_assemble,

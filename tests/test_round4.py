@@ -955,3 +955,104 @@ class TestTailMode:
         res = tail_files(live, lake_dir=str(tmp_path / "lake"),
                          poll_interval=0.01, idle_polls=3)
         assert res.replays == 0 and res.polls == 3
+
+
+class TestScd2History:
+    """SCD Type-2 validity intervals from a change stream, pinned against
+    a pandas lead() oracle over randomized changelogs."""
+
+    def _changelog(self, seed=11, n=3000, n_convs=40, max_turns=6):
+        rng = np.random.default_rng(seed)
+        lsn = np.arange(n, dtype=np.int64)
+        conv = np.char.add("c", rng.integers(0, n_convs, n).astype("U4"))
+        turn = rng.integers(0, max_turns, n).astype(np.int32)
+        op = rng.choice(np.array(["I", "U", "D"], dtype=object), n,
+                        p=[0.5, 0.4, 0.1])
+        ts = pd.to_datetime(
+            1_700_000_000_000 + lsn * 10
+            + rng.integers(-3, 4, n) * 2, unit="ms")
+        text = np.char.add("v", lsn.astype("U8")).astype(object)
+        text[op == "D"] = None
+        return pa.table({
+            "lsn": lsn, "op": pa.array(op, pa.string()),
+            "conv_id": pa.array(conv.astype(object), pa.string()),
+            "turn_idx": turn,
+            "role": pa.array(["user"] * n, pa.string()),
+            "text": pa.array(text, pa.string()),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array(ts),
+        })
+
+    def _oracle(self, t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas().sort_values(
+            ["conv_id", "turn_idx", "ts", "lsn"], kind="stable")
+        g = df.groupby(["conv_id", "turn_idx"], sort=False)
+        df["valid_to"] = g["ts"].shift(-1)
+        df["closed_by_lsn"] = g["lsn"].shift(-1)
+        df["is_current"] = df["closed_by_lsn"].isna()
+        out = df[df["op"] != "D"].rename(
+            columns={"ts": "valid_from", "lsn": "version_lsn"})
+        cols = ["conv_id", "turn_idx", "role", "text", "tool", "valid_from",
+                "valid_to", "version_lsn", "closed_by_lsn", "is_current"]
+        return (out[cols].sort_values("version_lsn")
+                .reset_index(drop=True))
+
+    @pytest.mark.parametrize("salt_by_turn", [False, True])
+    def test_matches_pandas_lead_oracle(self, ray_session, salt_by_turn):
+        import ray.data as rd
+
+        from datax_ray.cdc.scd import scd2_history
+
+        t = self._changelog()
+        got = (scd2_history(rd.from_arrow(t).repartition(6),
+                            num_partitions=5, salt_by_turn=salt_by_turn)
+               .to_pandas().sort_values("version_lsn")
+               .reset_index(drop=True))
+        ora = self._oracle(t)
+        got["closed_by_lsn"] = got["closed_by_lsn"].astype("float64")
+        pd.testing.assert_frame_equal(got, ora, check_dtype=False)
+
+    def test_delete_closes_without_opening(self, ray_session):
+        import ray.data as rd
+
+        from datax_ray.cdc.scd import scd2_history
+
+        ts = pd.to_datetime([1, 2, 3], unit="s")
+        t = pa.table({
+            "lsn": pa.array([0, 1, 2], pa.int64()),
+            "op": pa.array(["I", "D", "I"], pa.string()),
+            "conv_id": pa.array(["a", "a", "a"], pa.string()),
+            "turn_idx": pa.array([0, 0, 0], pa.int32()),
+            "role": pa.array(["user", None, "user"], pa.string()),
+            "text": pa.array(["x", None, "y"], pa.string()),
+            "tool": pa.array([None, None, None], pa.string()),
+            "ts": pa.array(ts),
+        })
+        got = (scd2_history(rd.from_arrow(t), num_partitions=2)
+               .to_pandas().sort_values("version_lsn")
+               .reset_index(drop=True))
+        # two versions: lsn 0 closed by the delete, lsn 2 reopened+current
+        assert list(got["version_lsn"]) == [0, 2]
+        assert got.loc[0, "valid_to"] == ts[1]
+        assert got.loc[0, "closed_by_lsn"] == 1
+        assert not got.loc[0, "is_current"]
+        assert pd.isna(got.loc[1, "valid_to"])
+        assert got.loc[1, "is_current"]
+
+    def test_current_rows_equal_lww_state(self, ray_session):
+        """The SCD2 table's is_current slice must equal the LWW merge —
+        the two operators are views of the same fold."""
+        import ray.data as rd
+
+        from datax_ray.cdc.merge import lww_merge
+        from datax_ray.cdc.scd import scd2_history
+
+        t = self._changelog(seed=23)
+        cur = (scd2_history(rd.from_arrow(t), num_partitions=4)
+               .to_pandas().query("is_current")
+               [["conv_id", "turn_idx", "role", "text", "tool"]]
+               .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+        lww = (lww_merge(rd.from_arrow(t), num_partitions=4)
+               .to_pandas()[["conv_id", "turn_idx", "role", "text", "tool"]]
+               .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(cur, lww, check_dtype=False)
