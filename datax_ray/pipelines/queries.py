@@ -754,6 +754,39 @@ def q_chunk_documents(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Streaming dedup against the sharded fingerprint index
+    (ops/incdedup.py): three ordered epochs — the corpus, then two
+    derived re-upload waves carrying duplicate texts under new ids —
+    each flagged with ONE epoch-rows-only shuffle + one actor probe per
+    partition; the index persists across epochs. Oracle: global
+    min-doc_id-per-fingerprint (epochs are id-ordered, so first-arrival
+    == global min)."""
+    from datax_ray.ops.incdedup import incremental_dedup
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def make_wave(offset: int, mod: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"])
+            sub = t.filter(pa.array(ids % mod == 0))
+            return pa.table({
+                "doc_id": pa.array(
+                    (np.asarray(sub["doc_id"]) + offset).astype(np.int64)),
+                "text": sub["text"],
+            })
+        return f
+
+    epochs = [
+        base,
+        base.map_batches(make_wave(1_000_000, 5), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        base.map_batches(make_wave(2_000_000, 10), batch_format="pyarrow",
+                         zero_copy_batch=True),
+    ]
+    return incremental_dedup(epochs, num_shards=8)
+
+
 def q_dedup_exact(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return exact_dedup(ds, num_partitions=8)
@@ -1697,6 +1730,23 @@ FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
 HAVING count(*) / CAST(a.sz + b.sz - count(*) AS DOUBLE) >= 0.1
 """.strip(),
+    "incremental_dedup": """
+WITH full_set AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+fp AS (
+  SELECT doc_id,
+    md5(regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+        '^ | $', '', 'g')) AS f
+  FROM full_set)
+SELECT doc_id,
+  min(doc_id) OVER (PARTITION BY f) AS first_doc_id,
+  doc_id > min(doc_id) OVER (PARTITION BY f) AS is_dup
+FROM fp
+""".strip(),
     "dedup_exact": """
 WITH fp AS (
   SELECT doc_id, text,
@@ -1997,6 +2047,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_exact": q_dedup_exact,
+    "incremental_dedup": q_incremental_dedup,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "quality_filter": q_quality_filter,

@@ -1056,3 +1056,68 @@ class TestScd2History:
                .to_pandas()[["conv_id", "turn_idx", "role", "text", "tool"]]
                .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(cur, lww, check_dtype=False)
+
+
+class TestIncrementalDedup:
+    """Streaming dedup against the sharded fingerprint index
+    (ops/incdedup.py)."""
+
+    def test_shard_probe_insert_and_pending_consolidation(self):
+        from datax_ray.ops.incdedup import FingerprintIndexShard
+
+        sh = FingerprintIndexShard(rebuild_ratio=0.5)
+        fps1 = np.array(["a", "b", "c"], dtype=object)
+        out1 = sh.check_and_insert(fps1, np.array([10, 11, 12]))
+        assert list(out1) == [10, 11, 12]
+        # re-probe: existing owners win; new key inserted
+        out2 = sh.check_and_insert(
+            np.array(["b", "d"], dtype=object), np.array([99, 13]))
+        assert list(out2) == [11, 13]
+        # probe keys living only in the pending chunk
+        out3 = sh.check_and_insert(
+            np.array(["d", "e"], dtype=object), np.array([77, 14]))
+        assert list(out3) == [13, 14]
+        assert sh.size() == 5
+
+    def _epochs(self, ray_session):
+        import ray.data as rd
+
+        def tbl(ids, texts):
+            return rd.from_arrow(pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            })).repartition(3)
+
+        e0 = tbl([3, 1, 2], ["xx", "yy", "zz"])
+        # within-epoch dup ("pp" twice) + cross-epoch dup ("yy")
+        e1 = tbl([12, 10, 11], ["pp", "pp", "yy"])
+        # later epoch re-sends an epoch-1 text and an epoch-0 text
+        e2 = tbl([20, 21], ["pp", "zz"])
+        return [e0, e1, e2]
+
+    def test_epoch_order_and_min_id_semantics(self, ray_session):
+        from datax_ray.ops.incdedup import incremental_dedup
+
+        out = (incremental_dedup(self._epochs(ray_session), num_shards=4)
+               .to_pandas().set_index("doc_id").sort_index())
+        # epoch 0: all unique
+        assert not out.loc[[1, 2, 3], "is_dup"].any()
+        # epoch 1: min-id 10 owns "pp"; 12 dups it; "yy" owned by 1
+        assert not out.loc[10, "is_dup"]
+        assert out.loc[12, "is_dup"] and out.loc[12, "first_doc_id"] == 10
+        assert out.loc[11, "is_dup"] and out.loc[11, "first_doc_id"] == 1
+        # epoch 2: both dups of earlier epochs
+        assert out.loc[20, "is_dup"] and out.loc[20, "first_doc_id"] == 10
+        assert out.loc[21, "is_dup"] and out.loc[21, "first_doc_id"] == 2
+        assert len(out) == 8
+
+    def test_fast_and_md5_fingerprints_agree(self, ray_session):
+        from datax_ray.ops.incdedup import incremental_dedup
+
+        a = (incremental_dedup(self._epochs(ray_session), num_shards=4,
+                               fingerprint_mode="fast")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (incremental_dedup(self._epochs(ray_session), num_shards=4,
+                               fingerprint_mode="md5")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
