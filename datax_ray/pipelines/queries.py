@@ -754,6 +754,18 @@ def q_chunk_documents(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_bm25_scores(sf_dir: str):
+    """BM25 relevance of every document against a fixed keyword query
+    (ops/ranking.py): pass 1 folds (N, avgdl, per-term df) from one
+    partial row per batch — no shuffle, no vocabulary; pass 2 scores
+    each batch with RE2-vectorized tf/dl counts. Arithmetic is ordered
+    identically to the SQL oracle so doubles match bit-for-bit."""
+    from datax_ray.ops.ranking import bm25_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_scores(ds, ["table", "scan", "merge"])
+
+
 def q_incremental_dedup(sf_dir: str):
     """Streaming dedup against the sharded fingerprint index
     (ops/incdedup.py): three ordered epochs — the corpus, then two
@@ -1730,6 +1742,35 @@ FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
 HAVING count(*) / CAST(a.sz + b.sz - count(*) AS DOUBLE) >= 0.1
 """.strip(),
+    "bm25_scores": r"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS DOUBLE) AS dl,
+    CAST(len(regexp_extract_all(lower(coalesce(text, '')), '\btable\b')) AS DOUBLE) AS tf0,
+    CAST(len(regexp_extract_all(lower(coalesce(text, '')), '\bscan\b')) AS DOUBLE) AS tf1,
+    CAST(len(regexp_extract_all(lower(coalesce(text, '')), '\bmerge\b')) AS DOUBLE) AS tf2
+  FROM documents),
+st AS (
+  SELECT
+    CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl,
+    ln((count(*) - sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) + 0.5e0)
+       / (sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) + 0.5e0) + 1e0) AS idf0,
+    ln((count(*) - sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) + 0.5e0)
+       / (sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) + 0.5e0) + 1e0) AS idf1,
+    ln((count(*) - sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) + 0.5e0)
+       / (sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) + 0.5e0) + 1e0) AS idf2
+  FROM t)
+SELECT doc_id,
+  round(
+    (idf0 * (tf0 * (1.2e0 + 1e0)))
+      / (tf0 + 1.2e0 * ((1e0 - 0.75e0) + (0.75e0 * dl) / avgdl))
+  + (idf1 * (tf1 * (1.2e0 + 1e0)))
+      / (tf1 + 1.2e0 * ((1e0 - 0.75e0) + (0.75e0 * dl) / avgdl))
+  + (idf2 * (tf2 * (1.2e0 + 1e0)))
+      / (tf2 + 1.2e0 * ((1e0 - 0.75e0) + (0.75e0 * dl) / avgdl)),
+  6) AS bm25
+FROM t, st
+""".strip(),
     "incremental_dedup": """
 WITH full_set AS (
   SELECT doc_id, text FROM documents
@@ -2048,6 +2089,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_exact": q_dedup_exact,
     "incremental_dedup": q_incremental_dedup,
+    "bm25_scores": q_bm25_scores,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "quality_filter": q_quality_filter,

@@ -1121,3 +1121,78 @@ class TestIncrementalDedup:
                                fingerprint_mode="md5")
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestBm25:
+    """BM25 scorer (ops/ranking.py) vs a straight-line python reference."""
+
+    TEXTS = [
+        "table scan merge table", "nothing relevant here",
+        "table", "", None, "merge merge merge scan",
+        "the table of tables",  # 'tables' must NOT match \btable\b
+        "TABLE Scan MERGE",     # case folding
+    ]
+
+    def _reference(self, texts, terms, k1=1.2, b=0.75):
+        import math
+        import re as _re
+
+        toks = [(t or "").lower() for t in texts]
+        dls = [len(_re.findall(r"\S+", t)) for t in toks]
+        tfs = [[len(_re.findall(rf"\b{q}\b", t)) for t in toks]
+               for q in terms]
+        n = len(texts)
+        avgdl = sum(dls) / n
+        out = []
+        for i in range(n):
+            s = 0.0
+            for qi, q in enumerate(terms):
+                df = sum(1 for v in tfs[qi] if v > 0)
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                tf = float(tfs[qi][i])
+                s = s + (idf * (tf * (k1 + 1.0))) / (
+                    tf + k1 * ((1.0 - b) + (b * dls[i]) / avgdl))
+            out.append(round(s, 6))
+        return out
+
+    def test_matches_reference(self, ray_session):
+        import ray.data as rd
+
+        from datax_ray.ops.ranking import bm25_scores
+
+        terms = ["table", "scan", "merge"]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(self.TEXTS)), pa.int64()),
+            "text": pa.array(self.TEXTS, pa.string()),
+        })).repartition(3)
+        got = (bm25_scores(ds, terms).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        ref = self._reference(self.TEXTS, terms)
+        np.testing.assert_allclose(got["bm25"].to_numpy(), ref,
+                                   rtol=0, atol=1.5e-6)
+        # zero-match docs score 0; the shortest all-term doc scores
+        # highest (BM25 length normalization)
+        assert got.loc[1, "bm25"] == 0.0 and got.loc[4, "bm25"] == 0.0
+        assert got["bm25"].idxmax() == 7
+
+    def test_corpus_stats(self, ray_session):
+        import ray.data as rd
+
+        from datax_ray.ops.ranking import corpus_stats
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(self.TEXTS)), pa.int64()),
+            "text": pa.array(self.TEXTS, pa.string()),
+        })).repartition(4)
+        st = corpus_stats(ds, ["table", "merge"])
+        assert st["n_docs"] == 8
+        assert st["df"] == [4, 3]  # 'tables' and None/'' excluded
+
+    def test_rejects_regex_special_terms(self, ray_session):
+        import ray.data as rd
+
+        from datax_ray.ops.ranking import bm25_scores
+
+        ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
+        with pytest.raises(ValueError, match="alphanumeric"):
+            bm25_scores(ds, ["a.b"]).take_all()
