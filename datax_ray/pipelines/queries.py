@@ -754,6 +754,17 @@ def q_chunk_documents(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_profile_documents(sf_dir: str):
+    """One-pass column profiler (ops/profile.py): per-column row/null
+    counts, typed min/max, total string length — per-batch partial rows
+    folded on the driver; the data never shuffles."""
+    from datax_ray.ops.profile import profile_columns
+
+    ds = _read(sf_dir, "documents")
+    return profile_columns(ds, ["doc_id", "text", "lang", "source",
+                                "n_chars"])
+
+
 def q_bm25_scores(sf_dir: str):
     """BM25 relevance of every document against a fixed keyword query
     (ops/ranking.py): pass 1 folds (N, avgdl, per-term df) from one
@@ -1742,6 +1753,38 @@ FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
 HAVING count(*) / CAST(a.sz + b.sz - count(*) AS DOUBLE) >= 0.1
 """.strip(),
+    "profile_documents": """
+SELECT 'doc_id' AS "column", count(*) AS n_rows,
+  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(min(doc_id) AS VARCHAR) AS min_value,
+  CAST(max(doc_id) AS VARCHAR) AS max_value,
+  CAST(NULL AS BIGINT) AS len_sum
+FROM documents
+UNION ALL
+SELECT 'text', count(*),
+  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  min(text), max(text),
+  CAST(sum(length(text)) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'lang', count(*),
+  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  min(lang), max(lang),
+  CAST(sum(length(lang)) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'source', count(*),
+  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  min(source), max(source),
+  CAST(sum(length(source)) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*),
+  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+  CAST(NULL AS BIGINT)
+FROM documents
+""".strip(),
     "bm25_scores": r"""
 WITH t AS (
   SELECT doc_id,
@@ -2090,6 +2133,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "incremental_dedup": q_incremental_dedup,
     "bm25_scores": q_bm25_scores,
+    "profile_documents": q_profile_documents,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "quality_filter": q_quality_filter,

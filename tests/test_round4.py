@@ -1196,3 +1196,36 @@ class TestBm25:
         ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
         with pytest.raises(ValueError, match="alphanumeric"):
             bm25_scores(ds, ["a.b"]).take_all()
+
+
+class TestProfileColumns:
+    def test_profile_mixed_types_with_nulls(self, ray_session):
+        import ray.data as rd
+
+        from datax_ray.ops.profile import profile_columns
+
+        t = pa.table({
+            "i": pa.array([9, 10, None, 2, 100], pa.int64()),
+            "s": pa.array(["b", None, "a", "zz", ""], pa.string()),
+        })
+        out = profile_columns(rd.from_arrow(t).repartition(3),
+                              ["i", "s"]).to_pandas().set_index("column")
+        # numeric fold must be numeric order (2 < 9 < 10 < 100), not
+        # lexicographic over stringified partials
+        assert out.loc["i", "min_value"] == "2"
+        assert out.loc["i", "max_value"] == "100"
+        assert out.loc["i", "n_nulls"] == 1 and out.loc["i", "n_rows"] == 5
+        assert pd.isna(out.loc["i", "len_sum"])
+        assert out.loc["s", "min_value"] == ""
+        assert out.loc["s", "max_value"] == "zz"
+        assert out.loc["s", "len_sum"] == 4
+
+    def test_all_null_column(self, ray_session):
+        import ray.data as rd
+
+        from datax_ray.ops.profile import profile_columns
+
+        t = pa.table({"x": pa.array([None, None], pa.string())})
+        out = profile_columns(rd.from_arrow(t), ["x"]).to_pandas()
+        assert out.loc[0, "n_nulls"] == 2
+        assert pd.isna(out.loc[0, "min_value"])
