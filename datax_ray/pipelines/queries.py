@@ -754,6 +754,28 @@ def q_chunk_documents(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+_KMEANS_K = 8
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed k-means (ops/clustering.py): 2 Lloyd iterations from
+    the k smallest-id vectors, each iteration ONE streaming pass emitting
+    k×D partial sums per batch (no shuffle, nothing materialized), then a
+    map-only assignment. Oracle: the same two iterations unrolled in SQL
+    (arg_min over list_distance, avg per (cluster, dim))."""
+    from datax_ray.ops.clustering import kmeans
+
+    init = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", _KMEANS_K)],
+    ).sort_by("vec_id")
+    init_c = np.stack(init["embedding"].to_numpy(zero_copy_only=False))
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assignments, _cents = kmeans(ds, init_c, iters=2)
+    return assignments
+
+
 def q_profile_documents(sf_dir: str):
     """One-pass column profiler (ops/profile.py): per-column row/null
     counts, typed min/max, total string length — per-batch partial rows
@@ -1753,6 +1775,46 @@ FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
 HAVING count(*) / CAST(a.sz + b.sz - count(*) AS DOUBLE) >= 0.1
 """.strip(),
+    "kmeans_embeddings": """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cluster, e FROM v WHERE vec_id < 8),
+a1 AS (
+  SELECT v.vec_id, arg_min(c0.cluster, list_distance(v.e, c0.e)) AS cluster
+  FROM v CROSS JOIN c0 GROUP BY v.vec_id),
+u1 AS (
+  SELECT cluster, list(m ORDER BY dim) AS e
+  FROM (
+    SELECT cluster, dim, avg(val) AS m
+    FROM (
+      SELECT a1.cluster, generate_subscripts(v.e, 1) AS dim,
+             unnest(v.e) AS val
+      FROM v JOIN a1 USING (vec_id))
+    GROUP BY cluster, dim)
+  GROUP BY cluster),
+c1 AS (
+  SELECT c0.cluster, COALESCE(u1.e, c0.e) AS e
+  FROM c0 LEFT JOIN u1 USING (cluster)),
+a2 AS (
+  SELECT v.vec_id, arg_min(c1.cluster, list_distance(v.e, c1.e)) AS cluster
+  FROM v CROSS JOIN c1 GROUP BY v.vec_id),
+u2 AS (
+  SELECT cluster, list(m ORDER BY dim) AS e
+  FROM (
+    SELECT cluster, dim, avg(val) AS m
+    FROM (
+      SELECT a2.cluster, generate_subscripts(v.e, 1) AS dim,
+             unnest(v.e) AS val
+      FROM v JOIN a2 USING (vec_id))
+    GROUP BY cluster, dim)
+  GROUP BY cluster),
+c2 AS (
+  SELECT c1.cluster, COALESCE(u2.e, c1.e) AS e
+  FROM c1 LEFT JOIN u2 USING (cluster))
+SELECT v.vec_id, arg_min(c2.cluster, list_distance(v.e, c2.e)) AS cluster
+FROM v CROSS JOIN c2 GROUP BY v.vec_id
+""".strip(),
     "profile_documents": """
 SELECT 'doc_id' AS "column", count(*) AS n_rows,
   CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
@@ -2134,6 +2196,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "bm25_scores": q_bm25_scores,
     "profile_documents": q_profile_documents,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "quality_filter": q_quality_filter,

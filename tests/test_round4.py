@@ -1229,3 +1229,80 @@ class TestProfileColumns:
         out = profile_columns(rd.from_arrow(t), ["x"]).to_pandas()
         assert out.loc[0, "n_nulls"] == 2
         assert pd.isna(out.loc[0, "min_value"])
+
+
+class TestKmeans:
+    """Distributed Lloyd iterations (ops/clustering.py) vs an in-memory
+    reference on the same init."""
+
+    def _blobs(self, seed=5, n=600, k=4, dim=8, spread=0.05):
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(0, 1, (k, dim)) * 4
+        labels = rng.integers(0, k, n)
+        vecs = centers[labels] + rng.normal(0, spread, (n, dim))
+        return vecs.astype(np.float32), labels
+
+    def _reference(self, vecs, init, iters):
+        c = init.astype(np.float64)
+        v = vecs.astype(np.float64)
+        for _ in range(iters):
+            d = ((v[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            nc = c.copy()
+            for j in range(len(c)):
+                if (a == j).any():
+                    nc[j] = v[a == j].mean(0)
+            c = nc
+        d = ((v[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        return d.argmin(1), c
+
+    def test_matches_inmemory_lloyd(self, ray_session):
+        import ray.data as rd
+
+        from datax_ray.ops.clustering import kmeans
+
+        vecs, _ = self._blobs()
+        init = vecs[:4]
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        })).repartition(5)
+        got_ds, got_c = kmeans(ds, init, iters=3)
+        got = (got_ds.to_pandas().sort_values("vec_id")
+               .reset_index(drop=True)["cluster"].to_numpy())
+        want_a, want_c = self._reference(vecs, init, 3)
+        np.testing.assert_array_equal(got, want_a)
+        np.testing.assert_allclose(got_c, want_c, rtol=1e-12)
+
+    def test_recovers_separated_blobs(self, ray_session):
+        import ray.data as rd
+
+        from datax_ray.ops.clustering import kmeans
+
+        vecs, labels = self._blobs(seed=9, spread=0.01)
+        # init with one member of each true cluster → exact recovery
+        init = np.stack([vecs[labels == j][0] for j in range(4)])
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        })).repartition(4)
+        got_ds, _ = kmeans(ds, init, iters=2)
+        got = (got_ds.to_pandas().sort_values("vec_id")
+               .reset_index(drop=True)["cluster"].to_numpy())
+        np.testing.assert_array_equal(got, labels)
+
+    def test_empty_cluster_keeps_centroid(self, ray_session):
+        import ray.data as rd
+
+        from datax_ray.ops.clustering import kmeans_fit
+
+        vecs = np.array([[0.0, 0.0], [0.1, 0.0], [10.0, 10.0]],
+                        dtype=np.float32)
+        init = np.array([[0.0, 0.0], [10.0, 10.0], [99.0, 99.0]])
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        }))
+        c = kmeans_fit(ds, init, iters=1)
+        np.testing.assert_allclose(c[2], [99.0, 99.0])  # never assigned
+        np.testing.assert_allclose(c[0], [0.05, 0.0])
