@@ -110,3 +110,97 @@ def assign_pack_bins(ds, *, key_col: str, value_col: str, budget: int,
 
     return scanned.map_batches(bins, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+_NEG_INF = np.int64(np.iinfo(np.int64).min)
+
+
+def prefix_max(ds, *, key_col: str, value_col: str,
+               out_col: str = "running_max", bucket_size: int = 1024,
+               exclusive: bool = True):
+    """Global running MAX of ``value_col`` in ``key_col`` order — the
+    same two-phase scan as ``prefix_sum`` with (max, -inf) instead of
+    (+, 0). ``exclusive`` rows with no earlier row carry int64-min (the
+    identity); callers must treat it as "no watermark yet"."""
+    import ray
+
+    def partials(t: pa.Table) -> pa.Table:
+        k = np.asarray(t[key_col]).astype(np.int64) // bucket_size
+        v = np.asarray(t[value_col]).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        maxs = (np.maximum.reduceat(v, starts) if len(v)
+                else np.zeros(0, np.int64))
+        return pa.table({"bucket": pa.array(k[starts]),
+                         "partial": pa.array(maxs)})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    totals = parts.groupby("bucket")["partial"].max().sort_index()
+    offsets = totals.cummax().shift(fill_value=_NEG_INF)
+    off_map = {int(b): np.int64(o) for b, o in offsets.items()}
+    ref = ray.put(off_map)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = np.asarray(t[key_col]).astype(np.int64) // bucket_size
+        return t.append_column("_bucket", pa.array(b.astype(np.int32)))
+
+    def scan(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.drop_columns(["_bucket"]).append_column(
+                out_col, pa.array([], pa.int64()))
+        off = ray.get(ref)
+        g = g.sort_by([(key_col, "ascending")])
+        v = np.asarray(g[value_col]).astype(np.int64)
+        cmax = np.maximum.accumulate(v)
+        if exclusive:
+            run = np.empty_like(cmax)
+            run[0] = _NEG_INF
+            run[1:] = cmax[:-1]
+        else:
+            run = cmax
+        b = int(g["_bucket"][0].as_py())
+        run = np.maximum(run, off.get(b, _NEG_INF))
+        return g.drop_columns(["_bucket"]).append_column(
+            out_col, pa.array(run))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_bucket").map_groups(scan, batch_format="pyarrow"))
+
+
+def route_late_events(ds, *, ts_col: str = "ts", order_col: str = "lsn",
+                      allowed_lateness_ms: int, out_col: str = "is_late",
+                      bucket_size: int = 1024):
+    """Streaming-style watermark routing in batch form: an event is LATE
+    iff its event time falls more than ``allowed_lateness_ms`` behind the
+    watermark at its ARRIVAL — the running max event time over all
+    strictly-earlier arrivals (``order_col`` = arrival order, e.g. lsn).
+    The running max is the distributed ``prefix_max`` scan, so nothing is
+    sequential; the first arrival is never late. Downstream splits on
+    ``is_late`` to feed the on-time window aggregate and the late-side
+    correction path (the Flink allowed-lateness contract, expressed as
+    two Dataset filters)."""
+    def to_int(t: pa.Table) -> pa.Table:
+        return t.append_column("_ts_i", t[ts_col].cast(pa.int64()))
+
+    # probe the unit from the dataset schema (cheap: metadata only)
+    ts_type = dict(zip(ds.schema().names, ds.schema().types))[ts_col]
+    scale = {"s": 0.001, "ms": 1, "us": 1000, "ns": 1_000_000}[ts_type.unit]
+    delay = np.int64(round(allowed_lateness_ms * scale))
+
+    scanned = prefix_max(
+        ds.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True),
+        key_col=order_col, value_col="_ts_i", out_col="_wm_raw",
+        bucket_size=bucket_size)
+
+    def flag(t: pa.Table) -> pa.Table:
+        wm = np.asarray(t["_wm_raw"])
+        ts = np.asarray(t["_ts_i"])
+        late = (wm != _NEG_INF) & (ts < wm - delay)
+        return (t.drop_columns(["_ts_i", "_wm_raw"])
+                 .append_column(out_col, pa.array(late)))
+
+    return scanned.map_batches(flag, batch_format="pyarrow",
+                               zero_copy_batch=True)

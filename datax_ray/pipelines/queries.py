@@ -754,6 +754,32 @@ def q_chunk_documents(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_late_events(sf_dir: str):
+    """Watermark / allowed-lateness routing (ops/scan.route_late_events):
+    event time = ts jittered back ((lsn*17) % 64 minutes) so arrival order
+    (lsn) and event time disagree; the watermark is the distributed
+    prefix-max of event time over arrival order (two-phase scan, no
+    sequential pass) and an event is late iff it trails the watermark at
+    its arrival by > 10 min. Oracle: max() OVER (ORDER BY lsn ROWS
+    UNBOUNDED PRECEDING AND 1 PRECEDING)."""
+    from datax_ray.ops.scan import route_late_events
+
+    def jitter(t: pa.Table) -> pa.Table:
+        lsn = np.asarray(t["lsn"])
+        ts_i = np.asarray(t["ts"].cast(pa.int64()))
+        ev = ts_i - ((lsn * 17) % 64) * 60_000_000  # minutes in µs
+        return pa.table({
+            "lsn": t["lsn"],
+            "ev_ts": pa.array(ev).cast(pa.timestamp("us")),
+        })
+
+    ds = _changelog(sf_dir).map_batches(jitter, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    return route_late_events(ds, ts_col="ev_ts", order_col="lsn",
+                             allowed_lateness_ms=600_000,
+                             bucket_size=4096)
+
+
 _KMEANS_K = 8
 
 
@@ -1775,6 +1801,22 @@ FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
 HAVING count(*) / CAST(a.sz + b.sz - count(*) AS DOUBLE) >= 0.1
 """.strip(),
+    "late_events": (
+        "WITH " + CHANGELOG_CTE.strip() + """,
+j AS (
+  SELECT lsn, ts - INTERVAL 1 MINUTE * ((lsn * 17) % 64) AS ev_ts
+  FROM changelog),
+w AS (
+  SELECT lsn, ev_ts,
+    max(ev_ts) OVER (ORDER BY lsn
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM j)
+SELECT lsn, ev_ts,
+  CASE WHEN wm IS NULL THEN FALSE
+       ELSE ev_ts < wm - INTERVAL 600 SECOND END AS is_late
+FROM w
+"""
+    ),
     "kmeans_embeddings": """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -2197,6 +2239,7 @@ QUERIES = {
     "bm25_scores": q_bm25_scores,
     "profile_documents": q_profile_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "late_events": q_late_events,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "quality_filter": q_quality_filter,

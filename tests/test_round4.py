@@ -680,6 +680,88 @@ class TestDistributedScan:
         assert (np.diff(out.bin_id.values) >= 0).all()
         assert (out.bin_offset.values < budget).all()
 
+    @pytest.mark.parametrize("exclusive", [True, False])
+    def test_prefix_max_matches_cummax(self, exclusive):
+        from datax_ray.ops.scan import _NEG_INF, prefix_max
+
+        rng = np.random.default_rng(11)
+        vals = rng.integers(-10_000, 10_000, 5000).astype(np.int64)
+        self._ds()  # populate self.keys with the shuffled permutation
+        import ray.data as rd
+        t = pa.table({"k": pa.array(self.keys), "v": pa.array(vals)})
+        ds = rd.from_arrow(t).repartition(6)
+        out = prefix_max(ds, key_col="k", value_col="v", bucket_size=512,
+                         exclusive=exclusive).to_pandas().sort_values("k")
+        v = vals[np.argsort(self.keys)]
+        cm = np.maximum.accumulate(v)
+        if exclusive:
+            want = np.empty_like(cm)
+            want[0] = _NEG_INF
+            want[1:] = cm[:-1]
+        else:
+            want = cm
+        np.testing.assert_array_equal(out.running_max.values, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLateEventRouting:
+    """route_late_events vs a sequential watermark simulation: replay
+    arrivals one by one, tracking max event time seen so far; an event is
+    late iff it trails that watermark by more than the allowed lateness."""
+
+    def _frame(self, n=4000, seed=3):
+        rng = np.random.default_rng(seed)
+        lsn = np.arange(n, dtype=np.int64)
+        # event times drift forward but jitter back up to ~30 min
+        base = np.cumsum(rng.integers(0, 120_000, n))  # ms steps
+        ev = base - rng.integers(0, 1_800_000, n)
+        return lsn, ev.astype(np.int64)
+
+    def _simulate(self, ev_ms, allowed_ms):
+        wm = None
+        late = np.zeros(len(ev_ms), dtype=bool)
+        for i, e in enumerate(ev_ms):
+            late[i] = wm is not None and e < wm - allowed_ms
+            wm = e if wm is None else max(wm, e)
+        return late
+
+    def test_matches_sequential_simulation(self):
+        import ray.data as rd
+
+        from datax_ray.ops.scan import route_late_events
+
+        lsn, ev = self._frame()
+        t = pa.table({
+            "lsn": pa.array(lsn),
+            "ts": pa.array(ev * 1000).cast(pa.timestamp("us")),
+        })
+        allowed = 600_000
+        out = (route_late_events(rd.from_arrow(t).repartition(7),
+                                 ts_col="ts", order_col="lsn",
+                                 allowed_lateness_ms=allowed,
+                                 bucket_size=256)
+               .to_pandas().sort_values("lsn"))
+        want = self._simulate(ev, allowed)
+        assert want.any() and not want.all()  # fixture exercises both sides
+        np.testing.assert_array_equal(out.is_late.values, want)
+
+    def test_first_arrival_never_late(self):
+        import ray.data as rd
+
+        from datax_ray.ops.scan import route_late_events
+
+        t = pa.table({
+            "lsn": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array([10**12, 10**12 - 10**9, 10**12],
+                           pa.int64()).cast(pa.timestamp("us")),
+        })
+        out = (route_late_events(rd.from_arrow(t), ts_col="ts",
+                                 order_col="lsn", allowed_lateness_ms=1000)
+               .to_pandas().sort_values("lsn"))
+        assert not out.is_late.values[0]
+        assert out.is_late.values[1]
+        assert not out.is_late.values[2]
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestGroupedAgg:
