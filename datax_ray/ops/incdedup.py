@@ -115,11 +115,19 @@ class FingerprintIndexShard:
 
 def start_index(num_shards: int):
     """Spawn the shard actors. The caller owns their lifetime (keep the
-    returned handles referenced for as long as the stream runs)."""
+    returned handles referenced while the stream runs, ``ray.kill`` them
+    when done — Dataset lineage can pin the handles long after).
+
+    ``num_cpus=0``: a shard is a lookup SERVICE (microsecond vectorized
+    probes between epochs), not a data-plane worker — reserving whole CPU
+    slots for it would starve map/shuffle tasks (on a 4-CPU test cluster,
+    8 shards at 0.5 CPU each deadlocked the session outright). SPREAD
+    placement distributes the index memory across nodes at scale."""
     import ray
 
     Shard = ray.remote(FingerprintIndexShard)
-    return [Shard.options(num_cpus=0.5).remote() for _ in range(num_shards)]
+    return [Shard.options(num_cpus=0, scheduling_strategy="SPREAD").remote()
+            for _ in range(num_shards)]
 
 
 def flag_epoch(ds, shards, *, text_col: str = "text",
@@ -181,6 +189,8 @@ def incremental_dedup(epochs, *, num_shards: int = 16,
     lake sink instead) so the index is fully updated before the next
     epoch is probed. Returns the union of all epochs' flags.
     """
+    import ray
+
     shards = start_index(num_shards)
     outs = []
     for ds in epochs:
@@ -188,5 +198,11 @@ def incremental_dedup(epochs, *, num_shards: int = 16,
                                id_col=id_col,
                                fingerprint_mode=fingerprint_mode)
                     .materialize())
+    # every epoch's flags are materialized blocks now — the index actors
+    # are done. Kill them explicitly: the materialized datasets' lineage
+    # keeps the fold closure (and with it the actor handles) alive, so
+    # relying on GC leaks the actors for the life of the result.
+    for s in shards:
+        ray.kill(s)
     out = outs[0]
     return out.union(*outs[1:]) if len(outs) > 1 else out
