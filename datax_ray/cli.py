@@ -45,10 +45,20 @@ class JobError(RuntimeError):
     pass
 
 
+# DataX plugin names → engine readers/writers, for the aliases whose
+# parameter shapes line up 1:1 (streamreader's column/sliceRecordCount,
+# txtfile*'s path/fileName/writeMode/fieldDelimiter/nullFormat/header) —
+# a reference job.json pastes in unchanged. Network-bound plugin names
+# (mysqlreader, ossreader, ...) intentionally stay unknown.
+_READER_ALIASES = {"streamreader": "stream", "txtfilereader": "csv"}
+_WRITER_ALIASES = {"streamwriter": "stdout", "txtfilewriter": "csv"}
+
+
 # ---------------------------------------------------------------- readers
 def _build_reader(name: str, p: dict[str, Any]):
     import ray.data as rd
 
+    name = _READER_ALIASES.get(name, name)
     if name == "parquet":
         return rd.read_parquet(p["path"], columns=p.get("columns"))
     if name == "csv":
@@ -105,6 +115,7 @@ def _build_reader(name: str, p: dict[str, Any]):
 
 
 def _precheck_reader(name: str, p: dict[str, Any]) -> list[str]:
+    name = _READER_ALIASES.get(name, name)
     notes = []
     if name in ("parquet", "csv", "changelog"):
         path = p["path"]
@@ -123,6 +134,7 @@ def _precheck_reader(name: str, p: dict[str, Any]) -> list[str]:
 
 # ---------------------------------------------------------------- writers
 def _run_writer(name: str, p: dict[str, Any], ds, resume: bool) -> dict[str, Any]:
+    name = _WRITER_ALIASES.get(name, name)
     if name == "parquet":
         path = p["path"]
         mode = p.get("writeMode", "append")
@@ -275,6 +287,14 @@ def run_job(spec: dict[str, Any], *, dry_run: bool = False,
         spec = resolve_handler(pre)(spec) or spec
     job = spec["job"]
     content = job["content"]
+    # Reference job format wraps the reader/writer pair in a single-element
+    # LIST ("content": [{...}], JobContainer reads content[0]); accept both
+    # that and the bare dict so a DataX job.json pastes in unchanged.
+    if isinstance(content, list):
+        if len(content) != 1:
+            raise ValueError(
+                f"job.content must have exactly one element, got {len(content)}")
+        content = content[0]
     setting = job.get("setting", {})
     reader = content["reader"]
     writer = content["writer"]

@@ -44,6 +44,35 @@ class TestCli:
         assert rep["ok"] and rep["result"]["rows"] == 400
         assert HOOK_CALLS == [True]
 
+    def test_datax_verbatim_job_shape(self, tmp_path):
+        """A reference job.json pastes in unchanged: content is a
+        single-element LIST and plugin names are the DataX ones
+        (streamreader/txtfilewriter)."""
+        out = str(tmp_path / "out")
+        spec = {"job": {
+            "content": [{
+                "reader": {"name": "streamreader", "parameter": {
+                    "sliceRecordCount": 5,
+                    "column": [
+                        {"type": "string", "value": "hello", "name": "a"},
+                        {"type": "long", "value": 42, "name": "b"},
+                    ]}},
+                "writer": {"name": "txtfilewriter", "parameter": {
+                    "path": out, "fileName": "out",
+                    "writeMode": "truncate", "fieldDelimiter": ","}},
+            }],
+            "setting": {"speed": {"channel": 2}},
+        }}
+        rep = run_job(spec)
+        assert rep["ok"] and rep["result"]["rows"] == 5
+        files = os.listdir(out)
+        assert files and all(f.startswith("out") for f in files)
+
+    def test_multi_content_rejected(self):
+        spec = {"job": {"content": [{}, {}]}}
+        with pytest.raises(ValueError, match="exactly one"):
+            run_job(spec)
+
     def test_parquet_copy_with_transforms_and_budget(self, tmp_path):
         dl = str(tmp_path / "dead")
         out = str(tmp_path / "out")
