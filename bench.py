@@ -148,6 +148,12 @@ def run_bench() -> dict:
         "num_cpus": ncpu,
         "events": res.events_applied,
         "events_per_sec": round(events_per_sec, 1),
+        # co-sampled host capacity (busy-loop iterations/s at this
+        # concurrency): the shared sandbox's speed drifts run to run, so a
+        # headline number is only comparable to another run at the same
+        # capacity — normalize before concluding a regression (the round-3
+        # campaign windows measured cap32 ≈ 205–217M at 8.8–9.3M ev/s)
+        "cpu_capacity": round(cpu_capacity(ncpu), 1),
         "queries": {},
     }
 
@@ -172,6 +178,14 @@ def run_bench() -> dict:
             "asof_clicks_views",
             "interval_join_campaigns",
             "ngram_jaccard_pairs",
+            "hash_join_lineitem",
+            "group_quantiles",
+            "chunk_documents",
+            "late_events",
+            "bm25_scores",
+            "kmeans_embeddings",
+            "incremental_dedup",
+            "connected_components",
         ]
         for name in subset:
             t0 = time.perf_counter()

@@ -493,6 +493,51 @@ def q_topk_orders(sf_dir: str):
                 descending=[True, False], k=10)
 
 
+def q_grouped_topk_orders(sf_dir: str):
+    """Top-3 orders per priority class (ops/rank.grouped_topk): every
+    block is pruned to ≤3 rows per group BEFORE the shuffle, so the
+    exchange moves O(k·groups·blocks) candidates — the grouped analogue
+    of topk_orders. Oracle: row_number() OVER (PARTITION BY ...) <= 3."""
+    from datax_ray.ops.rank import grouped_topk
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+    return grouped_topk(ds, group_cols="o_orderpriority",
+                        order_cols=["o_totalprice", "o_orderkey"],
+                        descending=[True, False], k=3, num_partitions=8)
+
+
+def q_window_user_activity(sf_dir: str):
+    """SQL window functions in one sorted kernel pass per hash partition
+    (ops/rank.window_funcs): row_number / rank-with-ties / lag / lead /
+    cumulative sum / moving average over PARTITION BY user_id. The
+    analysis value is computed over an exact INTEGER measure
+    (event_id % 97) so running sums are bit-reproducible in SQL —
+    float running sums would differ from DuckDB's segment-tree window
+    aggregation in the last bit."""
+    from datax_ray.ops.rank import window_funcs
+
+    def derive(t: pa.Table) -> pa.Table:
+        vi = np.asarray(t["event_id"]) % 97
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"],
+                         "vi": pa.array(vi, pa.int64())})
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id"]).map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True)
+    return window_funcs(
+        ds, partition_cols="user_id", order_cols=["vi", "event_id"],
+        funcs={
+            "rn": ("row_number",),
+            "rk": ("rank", ["vi"]),
+            "prev_vi": ("lag", "vi", 1),
+            "next_vi": ("lead", "vi", 1),
+            "cum_vi": ("cumsum", "vi"),
+            "mv4": ("moving_avg", "vi", 4),
+        }, num_partitions=32)
+
+
 def q_sample_hash(sf_dir: str):
     """Deterministic Bernoulli-by-key sample (ops/sample.py): md5 mode
     ONLY because the oracle reproduces the keep/drop decision in SQL —
@@ -1663,6 +1708,26 @@ FROM s GROUP BY user_id, sid
         "SELECT o_orderkey, o_totalprice FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
     ),
+    "grouped_topk_orders": """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+""".strip(),
+    "window_user_activity": """
+SELECT user_id, event_id, event_id % 97 AS vi,
+  row_number() OVER w AS rn,
+  rank() OVER (PARTITION BY user_id ORDER BY event_id % 97) AS rk,
+  lag(event_id % 97, 1) OVER w AS prev_vi,
+  lead(event_id % 97, 1) OVER w AS next_vi,
+  CAST(sum(event_id % 97) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS DOUBLE) AS cum_vi,
+  avg(event_id % 97) OVER (w ROWS BETWEEN 3 PRECEDING
+                           AND CURRENT ROW) AS mv4
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id % 97, event_id)
+""".strip(),
     "sample_hash": (
         "SELECT o_orderkey, o_totalprice FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '19999999'"
     ),
@@ -2218,6 +2283,8 @@ QUERIES = {
     "events_sliding_agg": q_events_sliding_agg,
     "events_sessionize": q_events_sessionize,
     "topk_orders": q_topk_orders,
+    "grouped_topk_orders": q_grouped_topk_orders,
+    "window_user_activity": q_window_user_activity,
     "sample_hash": q_sample_hash,
     "stratified_sample": q_stratified_sample,
     "distinct_counts": q_distinct_counts,

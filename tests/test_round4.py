@@ -1388,3 +1388,127 @@ class TestKmeans:
         c = kmeans_fit(ds, init, iters=1)
         np.testing.assert_allclose(c[2], [99.0, 99.0])  # never assigned
         np.testing.assert_allclose(c[0], [0.05, 0.0])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRankOps:
+    """grouped_topk and window_funcs vs pandas references (groupby.head,
+    shift, cumsum, rolling, rank method='min')."""
+
+    def _frame(self, n=20000, seed=0):
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame({
+            "g": rng.integers(0, 37, n),
+            "v": rng.integers(0, 10_000, n),
+            "id": np.arange(n),
+        })
+
+    def _ds(self, df, parts=9):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False)
+            .replace_schema_metadata(None)).repartition(parts)
+
+    def test_grouped_topk_matches_pandas(self):
+        import pandas as pd
+
+        from datax_ray.ops.rank import grouped_topk
+
+        df = self._frame()
+        out = grouped_topk(self._ds(df), group_cols="g",
+                           order_cols=["v", "id"],
+                           descending=[True, False], k=5,
+                           num_partitions=16).to_pandas()
+        want = (df.sort_values(["g", "v", "id"],
+                               ascending=[True, False, True])
+                  .groupby("g").head(5))
+        key = ["g", "v", "id"]
+        a = out.sort_values(key).reset_index(drop=True)
+        b = want.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[key], b[key], check_dtype=False)
+
+    def test_grouped_topk_small_groups_survive(self):
+        from datax_ray.ops.rank import grouped_topk
+
+        df = self._frame(n=40)  # 37 groups, most have ~1 row
+        out = grouped_topk(self._ds(df, parts=4), group_cols="g",
+                           order_cols="id", descending=False, k=10,
+                           num_partitions=4).to_pandas()
+        assert len(out) == 40  # k larger than any group: nothing dropped
+
+    def test_window_funcs_match_pandas(self):
+        import pandas as pd
+
+        from datax_ray.ops.rank import window_funcs
+
+        df = self._frame()
+        out = window_funcs(
+            self._ds(df), partition_cols="g", order_cols="id",
+            funcs={
+                "rn": ("row_number",),
+                "prev_v": ("lag", "v", 1),
+                "next_v": ("lead", "v", 2),
+                "cum_v": ("cumsum", "v"),
+                "mv3": ("moving_avg", "v", 3),
+                "ms3": ("moving_sum", "v", 3),
+            }, num_partitions=16).to_pandas()
+        out = out.sort_values(["g", "id"]).reset_index(drop=True)
+        w = df.sort_values(["g", "id"]).reset_index(drop=True)
+        gb = w.groupby("g")
+        w["rn"] = gb.cumcount() + 1
+        w["prev_v"] = gb["v"].shift(1)
+        w["next_v"] = gb["v"].shift(-2)
+        w["cum_v"] = gb["v"].cumsum().astype(float)
+        roll = gb["v"].rolling(3, min_periods=1)
+        w["mv3"] = roll.mean().reset_index(level=0, drop=True)
+        w["ms3"] = roll.sum().reset_index(level=0, drop=True)
+        for c in ["rn", "prev_v", "next_v", "cum_v", "mv3", "ms3"]:
+            pd.testing.assert_series_equal(out[c], w[c], check_dtype=False,
+                                           check_names=False)
+
+    def test_rank_with_ties(self):
+        import pandas as pd
+
+        from datax_ray.ops.rank import window_funcs
+
+        df = self._frame()
+        df["tie"] = df["v"] % 7  # heavy ties
+        out = window_funcs(
+            self._ds(df), partition_cols="g", order_cols=["tie", "id"],
+            funcs={"rk": ("rank", ["tie"])},
+            num_partitions=16).to_pandas()
+        want = df.copy()
+        want["rk"] = want.groupby("g")["tie"].rank(method="min").astype(int)
+        key = ["g", "tie", "id"]
+        a = out.sort_values(key).reset_index(drop=True)
+        b = want.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_series_equal(a["rk"], b["rk"], check_dtype=False,
+                                       check_names=False)
+
+    def test_multi_column_partition(self):
+        import pandas as pd
+
+        from datax_ray.ops.rank import window_funcs
+
+        df = self._frame(n=5000)
+        df["g2"] = df["v"] % 3
+        out = window_funcs(
+            self._ds(df), partition_cols=["g", "g2"], order_cols="id",
+            funcs={"rn": ("row_number",)}, num_partitions=8).to_pandas()
+        out = out.sort_values(["g", "g2", "id"]).reset_index(drop=True)
+        w = df.sort_values(["g", "g2", "id"]).reset_index(drop=True)
+        w["rn"] = w.groupby(["g", "g2"]).cumcount() + 1
+        pd.testing.assert_series_equal(out["rn"], w["rn"],
+                                       check_dtype=False, check_names=False)
+
+    def test_unknown_function_raises(self):
+        from datax_ray.ops.rank import window_funcs
+
+        ds = self._ds(self._frame(n=100), parts=1)
+        with pytest.raises(Exception, match="unknown window function"):
+            window_funcs(ds, partition_cols="g", order_cols="id",
+                         funcs={"x": ("percent_rank",)},
+                         num_partitions=2).to_pandas()
