@@ -352,6 +352,14 @@ def replay_files(
     epochs, committed = plan_epochs_resuming(manifest, max_lsn_exclusive, epoch_size)
 
     t_start = time.perf_counter()
+    if transform_specs and any(
+        s.get("name") == "lookup" for s in transform_specs
+    ):
+        # one ray.put per dimension table for the WHOLE replay — every
+        # map task of every epoch probes the same object-store copy
+        from datax_ray.transforms.lookup import broadcast_lookup_specs
+
+        transform_specs = broadcast_lookup_specs(transform_specs)
     run_events, n_run = 0, 0
     # Pipelined epochs with a bounded look-ahead window: up to
     # ``max_inflight_epochs`` epochs' map→reduce graphs are in flight at

@@ -309,6 +309,14 @@ def run_job(spec: dict[str, Any], *, dry_run: bool = False,
     if dry_run:
         return {"dryRun": True, "ok": True, "notes": notes}
 
+    if any(t.get("name") == "lookup" for t in transformer_specs):
+        # ship each lookup's dimension table to the object store ONCE
+        # (ray.put) so every task/epoch probes the same zero-copy buffer
+        from datax_ray.transforms.lookup import broadcast_lookup_specs
+
+        transformer_specs = broadcast_lookup_specs(transformer_specs)
+        transforms = [build_transform(t) for t in transformer_specs]
+
     t0 = time.perf_counter()
     if reader["name"] == "changelog" and writer["name"] == "lake_upsert":
         el_spec = setting.get("errorLimit")

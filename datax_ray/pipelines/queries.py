@@ -493,6 +493,31 @@ def q_topk_orders(sf_dir: str):
                 descending=[True, False], k=10)
 
 
+def q_lookup_enrich(sf_dir: str):
+    """Chained broadcast dimension enrichment inside a TransformChain
+    (transforms/lookup.py): orders → +customer(c_mktsegment, c_nationkey)
+    → +nation(n_name). Each dim table ray.put ONCE
+    (broadcast_lookup_specs) and probed per batch with an
+    order-preserving vectorized hash lookup — no shuffle. Oracle: two
+    LEFT JOINs."""
+    from datax_ray.transforms import TransformChain, build_transform
+    from datax_ray.transforms.lookup import broadcast_lookup_specs
+
+    specs = broadcast_lookup_specs([
+        {"name": "lookup", "parameter": {
+            "path": os.path.join(sf_dir, "customer.parquet"),
+            "key": "o_custkey", "dimKey": "c_custkey",
+            "columns": ["c_mktsegment", "c_nationkey"]}},
+        {"name": "lookup", "parameter": {
+            "path": os.path.join(sf_dir, "nation.parquet"),
+            "key": "c_nationkey", "dimKey": "n_nationkey",
+            "columns": ["n_name"]}},
+    ])
+    chain = TransformChain([build_transform(s) for s in specs])
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return ds.map_batches(chain, batch_format="pyarrow")
+
+
 def q_grouped_topk_orders(sf_dir: str):
     """Top-3 orders per priority class (ops/rank.grouped_topk): every
     block is pruned to ≤3 rows per group BEFORE the shuffle, so the
@@ -1708,6 +1733,12 @@ FROM s GROUP BY user_id, sid
         "SELECT o_orderkey, o_totalprice FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
     ),
+    "lookup_enrich": """
+SELECT o_orderkey, o_custkey, c_mktsegment, c_nationkey, n_name
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+""".strip(),
     "grouped_topk_orders": """
 SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
   SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -2283,6 +2314,7 @@ QUERIES = {
     "events_sliding_agg": q_events_sliding_agg,
     "events_sessionize": q_events_sessionize,
     "topk_orders": q_topk_orders,
+    "lookup_enrich": q_lookup_enrich,
     "grouped_topk_orders": q_grouped_topk_orders,
     "window_user_activity": q_window_user_activity,
     "sample_hash": q_sample_hash,

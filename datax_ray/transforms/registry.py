@@ -51,6 +51,22 @@ _REGISTRY: dict[str, Callable[..., Transform]] = {
 }
 
 
+def _make_lookup(key, path=None, table=None, dimKey=None, columns=None,
+                 required=False, **_):
+    from datax_ray.transforms.lookup import Lookup
+
+    src = table if table is not None else path
+    if src is None:
+        raise ValueError("lookup needs 'path' or 'table'")
+    return Lookup(src, key, dim_key=dimKey, columns=columns,
+                  required=bool(required))
+
+
+# broadcast dimension enrichment — a user-named transform (no dx_ prefix:
+# it has no reference counterpart; DataX chains are strictly per-record)
+_REGISTRY["lookup"] = _make_lookup
+
+
 def register_transform(name: str, constructor: Callable[..., Transform] | None = None):
     """Register a custom transform. User names must not start with ``dx_``
     (same rule as TransformerRegistry.java:148-164)."""

@@ -1512,3 +1512,106 @@ class TestRankOps:
             window_funcs(ds, partition_cols="g", order_cols="id",
                          funcs={"x": ("percent_rank",)},
                          num_partitions=2).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLookupTransform:
+    """Broadcast dimension enrichment (transforms/lookup.py): vectorized
+    order-preserving probe, left-join nulls, required→dirty routing, and
+    the driver-side ray.put broadcast pre-pass."""
+
+    def _dim(self):
+        return pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "seg": pa.array(["a", "b", "c"]),
+        })
+
+    def test_left_join_with_nulls(self):
+        from datax_ray.transforms.lookup import Lookup
+
+        lk = Lookup(self._dim(), key="k", dim_key="id")
+        batch = pa.table({"k": pa.array([3, 99, 1], pa.int64())})
+        out = lk.apply(batch)
+        assert out["seg"].to_pylist() == ["c", None, "a"]
+        assert out["k"].to_pylist() == [3, 99, 1]  # order preserved
+
+    def test_required_routes_dirty(self, tmp_path):
+        from datax_ray.transforms import TransformChain
+        from datax_ray.transforms.lookup import Lookup
+
+        lk = Lookup(self._dim(), key="k", dim_key="id", required=True)
+        chain = TransformChain([lk], dead_letter_dir=str(tmp_path / "dl"))
+        batch = pa.table({"k": pa.array([1, 42, 2], pa.int64())})
+        out = chain(batch)
+        assert out["k"].to_pylist() == [1, 2]  # 42 dead-lettered
+        import glob
+        assert glob.glob(str(tmp_path / "dl" / "*.parquet"))
+
+    def test_duplicate_dim_key_raises(self):
+        from datax_ray.transforms.lookup import Lookup
+
+        dim = pa.table({"id": pa.array([1, 1], pa.int64()),
+                        "v": pa.array([1, 2], pa.int64())})
+        lk = Lookup(dim, key="k", dim_key="id")
+        with pytest.raises(ValueError, match="not unique"):
+            lk.apply(pa.table({"k": pa.array([1], pa.int64())}))
+
+    def test_broadcast_specs_put_once(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from datax_ray.transforms import build_transform
+        from datax_ray.transforms.lookup import broadcast_lookup_specs
+
+        p = str(tmp_path / "dim.parquet")
+        pq.write_table(self._dim(), p)
+        specs = broadcast_lookup_specs([
+            {"name": "lookup", "parameter": {
+                "path": p, "key": "k", "dimKey": "id",
+                "columns": ["seg"]}},
+            {"name": "dx_pad", "parameter": {
+                "column": "seg", "pad_type": "r", "length": 4,
+                "pad_string": "x"}},
+        ])
+        import ray
+        assert isinstance(specs[0]["parameter"]["table"], ray.ObjectRef)
+        assert "path" not in specs[0]["parameter"]
+        assert specs[1]["name"] == "dx_pad"  # untouched
+        t = build_transform(specs[0])
+        out = t.apply(pa.table({"k": pa.array([2], pa.int64())}))
+        assert out["seg"].to_pylist() == ["b"]
+
+    def test_cdc_replay_with_lookup(self, tmp_path):
+        """Enrichment INSIDE the CDC exchange: every lake row carries the
+        dimension column; the oracle is the pandas merge of the folded
+        events with the dim."""
+        import pyarrow.parquet as pq
+
+        from datax_ray.cdc.replay import replay_files
+        from datax_ray.sinks.lake import read_lake_table
+        from datax_ray.sources.generators import (
+            ChangelogSpec,
+            write_changelog_parquet,
+        )
+
+        cl = write_changelog_parquet(
+            ChangelogSpec(n_events=3000, n_convs=40, max_turns=6,
+                          n_blocks=2, seed=11),
+            str(tmp_path / "cl"))
+        # dim: conv_id -> owner (generator ids are conv_ + 8-digit zfill)
+        convs = [f"conv_{i:08d}" for i in range(40)]
+        dimp = str(tmp_path / "dim.parquet")
+        pq.write_table(pa.table({
+            "conv_id": pa.array(convs),
+            "owner": pa.array([f"team_{i % 5}" for i in range(40)]),
+        }), dimp)
+        lake = str(tmp_path / "lake")
+        replay_files(cl, lake_dir=lake, max_lsn_exclusive=3000,
+                     num_partitions=4, epoch_size=1500, compact_every=0,
+                     transform_specs=[{"name": "lookup", "parameter": {
+                         "path": dimp, "key": "conv_id",
+                         "columns": ["owner"]}}])
+        t = read_lake_table(lake).to_pandas()
+        assert len(t) > 0
+        want = ("team_" + (t["conv_id"].str.split("_").str[1].astype(int)
+                           % 5).astype(str))
+        assert (t["owner"] == want).all()
