@@ -186,6 +186,10 @@ def run_bench() -> dict:
             "kmeans_embeddings",
             "incremental_dedup",
             "connected_components",
+            "curation_pipeline",
+            "lookup_enrich",
+            "grouped_topk_orders",
+            "window_user_activity",
         ]
         for name in subset:
             t0 = time.perf_counter()

@@ -493,6 +493,37 @@ def q_topk_orders(sf_dir: str):
                 descending=[True, False], k=10)
 
 
+def q_curation_pipeline(sf_dir: str):
+    """The flagship training-data curation chain END TO END — language
+    gate (keep 'en') → quality gate (prose thresholds) → exact dedup
+    (min doc_id per canonical fingerprint) → context-window chunking
+    (32-token windows, stride 24). Stages 1/2/4 are map-only batch
+    transforms; the single shuffle in the whole pipeline is the dedup's
+    fingerprint hash exchange. Each stage is individually oracled
+    elsewhere; this query pins the COMPOSITION against one nested SQL."""
+    from datax_ray.ops.dedup import exact_dedup
+    from datax_ray.ops.text import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gates(t: pa.Table) -> pa.Table:
+        t = add_lang_id(t)
+        t = t.filter(pc.equal(t["lang_pred"], "en"))
+        t = add_quality(t.select(["doc_id", "text"]))
+        m = pc.and_(
+            pc.and_(pc.less(t["punct_ratio"], 0.1),
+                    pc.greater(t["stopword_ratio"], 0.05)),
+            pc.less(t["mean_token_len"], 12.0),
+        )
+        return t.filter(m).select(["doc_id", "text"])
+
+    ds = ds.map_batches(gates, batch_format="pyarrow", zero_copy_batch=True)
+    ds = exact_dedup(ds, num_partitions=8)
+    return ds.map_batches(
+        lambda t: chunk_documents(t, chunk_tokens=32, overlap=8),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_lookup_enrich(sf_dir: str):
     """Chained broadcast dimension enrichment inside a TransformChain
     (transforms/lookup.py): orders → +customer(c_mktsegment, c_nationkey)
@@ -1733,6 +1764,57 @@ FROM s GROUP BY user_id, sid
         "SELECT o_orderkey, o_totalprice FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
     ),
+    "curation_pipeline": r"""
+WITH lang AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit|für)\b')) AS de,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with)\b')) AS en,
+    len(regexp_extract_all(lower(text), '\b(el|la|los|y|es|una|para|con|que)\b')) AS es,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|pour|dans|que)\b')) AS fr
+  FROM documents),
+en_docs AS (
+  SELECT doc_id, text FROM lang
+  WHERE NOT (de = 0 AND en = 0 AND es = 0 AND fr = 0)
+    AND NOT (de >= en AND de >= es AND de >= fr)
+    AND (en >= es AND en >= fr)),
+q AS (
+  SELECT doc_id, text,
+    round(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))
+          / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
+    round(len(regexp_extract_all(lower(text),
+          '\b(the|and|of|to|in|is|that|for|with)\b'))
+          / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0), 6)
+          AS stopword_ratio,
+    round(CAST(length(text) AS DOUBLE)
+          / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0), 6)
+          AS mean_token_len
+  FROM en_docs),
+kept AS (
+  SELECT doc_id, text FROM q
+  WHERE punct_ratio < 0.1 AND stopword_ratio > 0.05 AND mean_token_len < 12.0),
+fp AS (
+  SELECT doc_id, text,
+    md5(regexp_replace(regexp_replace(lower(text), '\s+', ' ', 'g'),
+        '^ | $', '', 'g')) AS f
+  FROM kept),
+deduped AS (
+  SELECT doc_id, text FROM fp
+  WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
+w AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks FROM deduped
+), c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    CASE WHEN len(toks) = 0 THEN 0
+         WHEN len(toks) <= 32 THEN 1
+         ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS nc
+  FROM w), x AS (
+  SELECT doc_id, toks, n, unnest(range(nc)) AS i FROM c)
+SELECT doc_id, i AS chunk_idx,
+  least(i * 24 + 32, n) - i * 24 AS n_tokens,
+  array_to_string(toks[i * 24 + 1 : least(i * 24 + 32, n)], ' ')
+    AS chunk_text
+FROM x
+""".strip(),
     "lookup_enrich": """
 SELECT o_orderkey, o_custkey, c_mktsegment, c_nationkey, n_name
 FROM orders
@@ -2315,6 +2397,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "topk_orders": q_topk_orders,
     "lookup_enrich": q_lookup_enrich,
+    "curation_pipeline": q_curation_pipeline,
     "grouped_topk_orders": q_grouped_topk_orders,
     "window_user_activity": q_window_user_activity,
     "sample_hash": q_sample_hash,
