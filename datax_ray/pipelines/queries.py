@@ -1406,6 +1406,34 @@ def q_cdc_time_travel(sf_dir: str):
     return out
 
 
+def q_cdc_backfill(sf_dir: str):
+    """Partition-parallel lake BACKFILL (sinks/lake.backfill): replay the
+    derived changelog into a lake, then patch a derived column
+    (text_len) onto every live row in place — one fold+rewrite task per
+    partition, per-partition manifest commits (the resume unit),
+    tombstones retained. Oracle: the LWW fold plus length(text)."""
+    from datax_ray.cdc.replay import replay_files
+    from datax_ray.sinks.lake import backfill, read_lake_table
+
+    meta = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
+    n = meta.num_rows
+    work = f"/tmp/datax_ray_q/backfill_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(work, ignore_errors=True)
+    cl_dir = os.path.join(work, "cl")
+    lake = os.path.join(work, "lake")
+    _changelog(sf_dir).write_parquet(cl_dir)
+    replay_files(cl_dir, lake_dir=lake, max_lsn_exclusive=n,
+                 num_partitions=8, epoch_size=(n + 1) // 2, compact_every=0)
+
+    def add_len(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "text_len", pc.cast(pc.utf8_length(t["text"]), pa.int64()))
+
+    backfill(lake, add_len, tag="textlen")
+    return read_lake_table(lake).select(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts", "text_len"])
+
+
 def q_cdc_table_changes(sf_dir: str):
     """Change-data-feed OUT of the lake (sinks/lake.table_changes): replay
     the derived changelog in 4 committed epochs, then emit the I/U/D set
@@ -1535,6 +1563,14 @@ ORACLES: dict[str, str] = {
             f"ts >= TIMESTAMP '{_WINDOW[0]}' AND ts < TIMESTAMP '{_WINDOW[1]}'"
         )
     ),
+    "cdc_backfill": ("WITH " + CHANGELOG_CTE.strip() + """
+SELECT conv_id, turn_idx, role, text, tool, ts,
+       CAST(length(text) AS BIGINT) AS text_len FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM changelog)
+WHERE rn = 1 AND op <> 'D'
+"""),
     "cdc_op_counts": (
         "WITH " + CHANGELOG_CTE.strip()
         + "\nSELECT op, count(*) AS n FROM changelog GROUP BY op"
@@ -2369,6 +2405,7 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 QUERIES = {
     "cdc_lww_merge": q_cdc_lww_merge,
+    "cdc_backfill": q_cdc_backfill,
     "cdc_lww_merge_salted": q_cdc_lww_merge_salted,
     "cdc_dup_redelivery": q_cdc_dup_redelivery,
     "cdc_window": q_cdc_window,

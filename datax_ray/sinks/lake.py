@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from datax_ray.cdc.merge import lww_fold_chain
@@ -207,6 +208,90 @@ def table_changes(lake_dir: str, *, from_epoch: int | None,
 
     return rd.from_items(specs).map_batches(diff, batch_size=1,
                                             batch_format="pandas")
+
+
+def backfill(lake_dir: str, fn, *, tag: str | None = None) -> dict:
+    """Partition-parallel in-place rewrite: recompute/patch columns over
+    every live row of the lake without replaying the changelog — the
+    lakehouse "backfill a derived column" operation.
+
+    Per partition (one Ray task each, no shuffle — files are already
+    key-partitioned): fold base+deltas to current state (tombstones
+    RETAINED, they must keep absorbing late out-of-order events), apply
+    the vectorized ``fn(pa.Table) -> pa.Table`` to the LIVE rows only,
+    re-attach tombstones (new columns null-filled), write one new base
+    snapshot atomically, and commit the swap to the manifest. The
+    per-partition commit is the RESUME unit: a crashed backfill leaves a
+    prefix of partitions swapped; re-running skips them (the new base
+    name carries ``tag``) and finishes the rest. Orphaned files from the
+    crash are invisible (manifest-gated) and reclaimed by ``vacuum``.
+
+    ``fn`` must be deterministic, preserve row count/order, and keep the
+    key/version columns intact (validated per partition). Like
+    compaction, backfill folds history: time travel reaches only
+    post-backfill epochs afterwards.
+    """
+    import ray.data as rd
+
+    from datax_ray.schema import align_to_schema as _align
+    from datax_ray.schema import concat_aligned
+
+    tag = tag or getattr(fn, "__name__", "fn")
+    manifest = Manifest.load(lake_dir)
+    marker = f"bf-{tag}-"
+    specs = []
+    skipped = 0
+    for p in range(manifest.num_partitions):
+        files = manifest.partition_files(p)
+        if not files:
+            continue
+        if (len(files) == 1
+                and os.path.basename(files[0]).startswith(marker)):
+            skipped += 1  # resume: this partition already swapped
+            continue
+        out = os.path.join(
+            partition_dir(lake_dir, p),
+            f"{marker}base-{max(file_epoch(f) for f in files):06d}.parquet")
+        specs.append({"part": p, "files": files, "out": out})
+
+    def rewrite(batch) -> pa.Table:
+        part = int(batch["part"][0])
+        files = list(batch["files"][0])
+        out = str(batch["out"][0])
+        t = fold_partition_files(files, drop_deletes=False)
+        live_mask = pc.not_equal(t["op"], "D")
+        live, dead = t.filter(live_mask), t.filter(pc.invert(live_mask))
+        new = fn(live)
+        if new.num_rows != live.num_rows:
+            raise ValueError(
+                f"backfill fn changed row count in part {part}: "
+                f"{live.num_rows} -> {new.num_rows}")
+        for c in ("conv_id", "turn_idx", "ts", "lsn", "op"):
+            if c in live.column_names and (
+                c not in new.column_names
+                or not new[c].combine_chunks().equals(
+                    live[c].combine_chunks())
+            ):
+                raise ValueError(
+                    f"backfill fn must preserve key/version column '{c}'")
+        if dead.num_rows:
+            new = concat_aligned([new, _align(dead, new.schema)])
+        atomic_write_parquet(new, out)
+        return pa.table({"part": pa.array([part], pa.int64()),
+                         "out": pa.array([out]),
+                         "rows": pa.array([new.num_rows], pa.int64())})
+
+    done = 0
+    if specs:
+        results = rd.from_items(specs).map_batches(
+            rewrite, batch_size=1, batch_format="pandas")
+        # stream commits so a crash keeps every finished partition's swap
+        for row in results.iter_rows():
+            part = int(row["part"])
+            manifest.commit_compaction(part, row["out"],
+                                       removed=manifest.partition_files(part))
+            done += 1
+    return {"partitions": done, "skipped": skipped, "tag": tag}
 
 
 def vacuum(lake_dir: str, *, dry_run: bool = False) -> list[str]:

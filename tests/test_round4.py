@@ -1615,3 +1615,92 @@ class TestLookupTransform:
         want = ("team_" + (t["conv_id"].str.split("_").str[1].astype(int)
                            % 5).astype(str))
         assert (t["owner"] == want).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBackfill:
+    """lake.backfill: partition-parallel in-place rewrite with
+    per-partition manifest commits — new column everywhere, tombstones
+    retained, idempotent rerun (no double-apply), contract violations
+    raise."""
+
+    def _lake(self, tmp_path, n=4000):
+        from datax_ray.cdc.replay import replay_files
+        from datax_ray.sources.generators import (
+            ChangelogSpec,
+            write_changelog_parquet,
+        )
+
+        cl = write_changelog_parquet(
+            ChangelogSpec(n_events=n, n_convs=60, max_turns=8, n_blocks=2,
+                          seed=29),
+            str(tmp_path / "cl"))
+        lake = str(tmp_path / "lake")
+        replay_files(cl, lake_dir=lake, max_lsn_exclusive=n,
+                     num_partitions=6, epoch_size=n // 2, compact_every=0)
+        return lake
+
+    @staticmethod
+    def _add_len(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("text_len", pc.utf8_length(t["text"]))
+
+    def test_adds_column_everywhere(self, tmp_path):
+        from datax_ray.sinks.lake import backfill, read_lake_table
+
+        lake = self._lake(tmp_path)
+        before = read_lake_table(lake).to_pandas()
+        rep = backfill(lake, self._add_len)
+        assert rep["partitions"] > 0 and rep["skipped"] == 0
+        after = read_lake_table(lake).to_pandas()
+        assert len(after) == len(before)
+        assert (after["text_len"] == after["text"].str.len()).all()
+        # non-backfilled columns byte-identical
+        a = after.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        b = before.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert (a["text"] == b["text"]).all()
+
+    def test_rerun_is_noop(self, tmp_path):
+        import pyarrow.compute as pc
+
+        from datax_ray.sinks.lake import backfill, read_lake_table
+
+        def bang(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.column_names.index("text"), "text",
+                pc.binary_join_element_wise(t["text"], "!", ""))
+
+        lake = self._lake(tmp_path)
+        backfill(lake, bang, tag="bang")
+        rep2 = backfill(lake, bang, tag="bang")
+        assert rep2["partitions"] == 0 and rep2["skipped"] > 0
+        t = read_lake_table(lake).to_pandas()
+        assert t["text"].str.endswith("!").all()
+        assert not t["text"].str.endswith("!!").any()  # no double apply
+
+    def test_tombstones_retained(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from datax_ray.sinks.lake import backfill
+        from datax_ray.state.manifest import Manifest
+
+        lake = self._lake(tmp_path)
+        backfill(lake, self._add_len)
+        m = Manifest.load(lake)
+        ops = set()
+        for p in range(m.num_partitions):
+            for f in m.partition_files(p):
+                assert "bf-_add_len-" in f or "bf-" in f
+                ops |= set(pq.read_table(f, columns=["op"])["op"].to_pylist())
+        assert "D" in ops  # deletes survive the rewrite as tombstones
+
+    def test_contract_violations_raise(self, tmp_path):
+        from datax_ray.sinks.lake import backfill
+
+        lake = self._lake(tmp_path, n=1000)
+        with pytest.raises(Exception, match="row count"):
+            backfill(lake, lambda t: t.slice(0, max(t.num_rows - 1, 0)),
+                     tag="shrink")
+        with pytest.raises(Exception, match="preserve key"):
+            backfill(lake, lambda t: t.drop_columns(["lsn"]), tag="droplsn")
