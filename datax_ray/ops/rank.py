@@ -114,6 +114,9 @@ def window_funcs(ds, *, partition_cols: list[str] | str,
                                    only — SQL RANK() OVER (ORDER BY prefix)
                                    while the extra order cols make output
                                    deterministic
+        ("dense_rank",)            DENSE_RANK() (no gaps); tie cols like rank
+        ("dense_rank", [cols])     "
+        ("ntile", n)               NTILE(n): SQL's larger-buckets-first split
         ("lag", col, n)            value n rows back, null at the start
         ("lead", col, n)           value n rows ahead, null at the end
         ("cumsum", col)            running sum, partition-scoped
@@ -154,16 +157,34 @@ def window_funcs(ds, *, partition_cols: list[str] | str,
             kind = spec[0]
             if kind == "row_number":
                 cols[out] = pa.array((pos + 1).astype(np.int64))
-            elif kind == "rank":
+            elif kind in ("rank", "dense_rank"):
                 # a tie-run starts where partition starts OR any tie col
-                # changes; rank = position of the tie-run's first row + 1
+                # changes; rank = position of the tie-run's first row + 1,
+                # dense_rank = index of the tie-run within the partition + 1
                 tie_cols = spec[1] if len(spec) > 1 else order_cols
                 tie = pstarts.copy()
                 for c in tie_cols:
                     a = np.asarray(g[c])
                     tie[1:] |= a[1:] != a[:-1]
-                first = np.flatnonzero(tie)[np.cumsum(tie) - 1]
-                cols[out] = pa.array((pos[first] + 1).astype(np.int64))
+                if kind == "rank":
+                    first = np.flatnonzero(tie)[np.cumsum(tie) - 1]
+                    cols[out] = pa.array((pos[first] + 1).astype(np.int64))
+                else:
+                    runs = np.cumsum(tie)
+                    base = runs[pstart_idx[run_id]]
+                    cols[out] = pa.array((runs - base + 1).astype(np.int64))
+            elif kind == "ntile":
+                nb = spec[1]
+                # SQL NTILE: first (size % n) buckets get ceil(size/n) rows
+                size = np.diff(np.append(pstart_idx, n))[run_id]
+                small, rem = size // nb, size % nb
+                cut = rem * (small + 1)
+                in_big = pos < cut
+                tile = np.where(in_big, pos // np.maximum(small + 1, 1),
+                                rem + np.where(small > 0,
+                                               (pos - cut) // np.maximum(small, 1),
+                                               0))
+                cols[out] = pa.array((tile + 1).astype(np.int64))
             elif kind in ("lag", "lead"):
                 _, col, off = spec
                 a = g[col].combine_chunks()
@@ -205,7 +226,7 @@ def window_funcs(ds, *, partition_cols: list[str] | str,
 
 def _out_type(schema: pa.Schema, spec: tuple) -> pa.DataType:
     kind = spec[0]
-    if kind in ("row_number", "rank"):
+    if kind in ("row_number", "rank", "dense_rank", "ntile"):
         return pa.int64()
     if kind in ("lag", "lead"):
         return schema.field(spec[1]).type

@@ -112,6 +112,27 @@ def assign_pack_bins(ds, *, key_col: str, value_col: str, budget: int,
                                zero_copy_batch=True)
 
 
+def take_within_budget(ds, *, key_col: str, value_col: str, budget: int,
+                       out_col: str = "running_total",
+                       bucket_size: int = 1024):
+    """Budget-bounded head: keep the prefix of rows (in ``key_col``
+    order) whose INCLUSIVE running total of ``value_col`` stays within
+    ``budget`` — "fill a 1B-token training budget from the front of the
+    corpus". One distributed scan + a stateless filter; rows keep their
+    running total so downstream can see exactly where the budget landed."""
+    import pyarrow.compute as pc
+
+    scanned = prefix_sum(ds, key_col=key_col, value_col=value_col,
+                         out_col=out_col, bucket_size=bucket_size,
+                         exclusive=False)
+
+    def head(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t[out_col], budget))
+
+    return scanned.map_batches(head, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 _NEG_INF = np.int64(np.iinfo(np.int64).min)
 
 

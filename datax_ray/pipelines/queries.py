@@ -587,6 +587,8 @@ def q_window_user_activity(sf_dir: str):
         funcs={
             "rn": ("row_number",),
             "rk": ("rank", ["vi"]),
+            "dr": ("dense_rank", ["vi"]),
+            "nt": ("ntile", 4),
             "prev_vi": ("lag", "vi", 1),
             "next_vi": ("lead", "vi", 1),
             "cum_vi": ("cumsum", "vi"),
@@ -853,6 +855,25 @@ def q_chunk_documents(sf_dir: str):
     return ds.map_batches(
         lambda t: chunk_documents(t, chunk_tokens=32, overlap=8),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_token_budget_head(sf_dir: str):
+    """Fill a token budget from the front of the corpus
+    (ops/scan.take_within_budget): whitespace-token counts per document,
+    inclusive running total in doc_id order via the two-phase distributed
+    scan, keep rows while the total stays ≤ 20 000 tokens. Oracle:
+    SUM() OVER (ORDER BY doc_id) <= budget."""
+    from datax_ray.ops.scan import take_within_budget
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        t = add_token_counts(t)
+        return t.select(["doc_id", "n_tokens"])
+
+    ds = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+    return take_within_budget(ds, key_col="doc_id", value_col="n_tokens",
+                              budget=20_000, bucket_size=256)
 
 
 def q_late_events(sf_dir: str):
@@ -1868,6 +1889,8 @@ SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
 SELECT user_id, event_id, event_id % 97 AS vi,
   row_number() OVER w AS rn,
   rank() OVER (PARTITION BY user_id ORDER BY event_id % 97) AS rk,
+  dense_rank() OVER (PARTITION BY user_id ORDER BY event_id % 97) AS dr,
+  ntile(4) OVER w AS nt,
   lag(event_id % 97, 1) OVER w AS prev_vi,
   lead(event_id % 97, 1) OVER w AS next_vi,
   CAST(sum(event_id % 97) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
@@ -2014,6 +2037,19 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
 HAVING count(*) / CAST(a.sz + b.sz - count(*) AS DOUBLE) >= 0.1
+""".strip(),
+    "token_budget_head": r"""
+WITH tok AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents),
+run AS (
+  SELECT doc_id, n_tokens,
+    sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+  FROM tok)
+SELECT doc_id, n_tokens, CAST(running_total AS BIGINT) AS running_total
+FROM run WHERE running_total <= 20000
 """.strip(),
     "late_events": (
         "WITH " + CHANGELOG_CTE.strip() + """,
@@ -2459,6 +2495,7 @@ QUERIES = {
     "profile_documents": q_profile_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
     "late_events": q_late_events,
+    "token_budget_head": q_token_budget_head,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "quality_filter": q_quality_filter,

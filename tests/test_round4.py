@@ -1704,3 +1704,56 @@ class TestBackfill:
                      tag="shrink")
         with pytest.raises(Exception, match="preserve key"):
             backfill(lake, lambda t: t.drop_columns(["lsn"]), tag="droplsn")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDenseRankNtile:
+    """dense_rank / ntile vs DuckDB's window functions."""
+
+    def test_match_duckdb(self):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from datax_ray.ops.rank import window_funcs
+
+        rng = np.random.default_rng(2)
+        n = 8000
+        df = pd.DataFrame({"g": rng.integers(0, 23, n),
+                           "tie": rng.integers(0, 9, n),
+                           "id": np.arange(n)})
+        t = (pa.Table.from_pandas(df, preserve_index=False)
+             .replace_schema_metadata(None))
+        out = window_funcs(rd.from_arrow(t).repartition(7),
+                           partition_cols="g", order_cols=["tie", "id"],
+                           funcs={"dr": ("dense_rank", ["tie"]),
+                                  "nt": ("ntile", 4)},
+                           num_partitions=8).to_pandas()
+        con = duckdb.connect()
+        con.register("df", df)
+        want = con.execute("""
+          SELECT g, tie, id,
+            dense_rank() OVER (PARTITION BY g ORDER BY tie) dr,
+            ntile(4) OVER (PARTITION BY g ORDER BY tie, id) nt
+          FROM df""").fetchdf()
+        key = ["g", "tie", "id"]
+        a = out.sort_values(key).reset_index(drop=True)
+        b = want.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_series_equal(a["dr"], b["dr"], check_dtype=False,
+                                       check_names=False)
+        pd.testing.assert_series_equal(a["nt"], b["nt"], check_dtype=False,
+                                       check_names=False)
+
+    def test_ntile_tiny_partitions(self):
+        import ray.data as rd
+
+        from datax_ray.ops.rank import window_funcs
+
+        # 3 rows into 4 tiles: tiles 1,2,3 (SQL: leftover tiles empty)
+        t = pa.table({"g": pa.array([0, 0, 0], pa.int64()),
+                      "id": pa.array([0, 1, 2], pa.int64())})
+        out = (window_funcs(rd.from_arrow(t), partition_cols="g",
+                            order_cols="id", funcs={"nt": ("ntile", 4)},
+                            num_partitions=2)
+               .to_pandas().sort_values("id"))
+        assert out["nt"].tolist() == [1, 2, 3]
