@@ -404,7 +404,35 @@ def main(argv=None) -> int:
                     metavar="KEY=VALUE",
                     help="substitute ${KEY} variables in the job spec "
                          "(DataX -p \"-Dkey=value\"); repeatable")
+    ap.add_argument("--backfill", metavar="MODULE:FN",
+                    help="treat JOB as a lake dir and run a partition-"
+                         "parallel in-place backfill with the named "
+                         "vectorized fn(pa.Table)->pa.Table; resumable "
+                         "per partition (see sinks/lake.backfill)")
+    ap.add_argument("--tag", help="backfill tag (default: fn name); reruns "
+                                  "with the same tag skip swapped partitions")
     args = ap.parse_args(argv)
+
+    if args.backfill:
+        from datax_ray.plugins import resolve_handler
+        from datax_ray.sinks.lake import backfill
+
+        fn = resolve_handler(args.backfill)
+        import ray
+
+        owns_ray = not ray.is_initialized()
+        if owns_ray:
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+            from ray.data import DataContext
+
+            DataContext.get_current().enable_progress_bars = False
+        try:
+            print(json.dumps(backfill(args.job, fn, tag=args.tag)))
+            return 0
+        finally:
+            if owns_ray:
+                ray.shutdown()
 
     if args.status:
         from datax_ray.state.manifest import Manifest

@@ -195,3 +195,34 @@ class TestCdcTransforms:
         t = read_lake_table(lake)
         assert t.num_rows > 0
         assert "tool" not in set(t["role"].to_pylist())
+
+
+def bf_add_len(t):
+    import pyarrow.compute as pc
+
+    return t.append_column("text_len", pc.utf8_length(t["text"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCliBackfill:
+    def test_backfill_flag(self, tmp_path):
+        from datax_ray.cli import main
+        from datax_ray.sinks.lake import read_lake_table
+        from datax_ray.cdc.replay import replay_files
+        from datax_ray.sources.generators import (
+            ChangelogSpec,
+            write_changelog_parquet,
+        )
+
+        cl = write_changelog_parquet(
+            ChangelogSpec(n_events=2000, n_convs=30, max_turns=6,
+                          n_blocks=2, seed=31),
+            str(tmp_path / "cl"))
+        lake = str(tmp_path / "lake")
+        replay_files(cl, lake_dir=lake, max_lsn_exclusive=2000,
+                     num_partitions=4, epoch_size=1000, compact_every=0)
+        rc = main([lake, "--backfill", "tests.test_cli:bf_add_len",
+                   "--tag", "len"])
+        assert rc == 0
+        t = read_lake_table(lake).to_pandas()
+        assert (t["text_len"] == t["text"].str.len()).all()
