@@ -117,6 +117,9 @@ def window_funcs(ds, *, partition_cols: list[str] | str,
         ("dense_rank",)            DENSE_RANK() (no gaps); tie cols like rank
         ("dense_rank", [cols])     "
         ("ntile", n)               NTILE(n): SQL's larger-buckets-first split
+        ("percent_rank",)          (rank-1)/(size-1), 0.0 for size-1 parts
+        ("cume_dist",)             rows with order key ≤ current / size;
+                                   tie cols like rank
         ("lag", col, n)            value n rows back, null at the start
         ("lead", col, n)           value n rows ahead, null at the end
         ("cumsum", col)            running sum, partition-scoped
@@ -157,7 +160,8 @@ def window_funcs(ds, *, partition_cols: list[str] | str,
             kind = spec[0]
             if kind == "row_number":
                 cols[out] = pa.array((pos + 1).astype(np.int64))
-            elif kind in ("rank", "dense_rank"):
+            elif kind in ("rank", "dense_rank", "percent_rank",
+                          "cume_dist"):
                 # a tie-run starts where partition starts OR any tie col
                 # changes; rank = position of the tie-run's first row + 1,
                 # dense_rank = index of the tie-run within the partition + 1
@@ -166,13 +170,26 @@ def window_funcs(ds, *, partition_cols: list[str] | str,
                 for c in tie_cols:
                     a = np.asarray(g[c])
                     tie[1:] |= a[1:] != a[:-1]
-                if kind == "rank":
-                    first = np.flatnonzero(tie)[np.cumsum(tie) - 1]
-                    cols[out] = pa.array((pos[first] + 1).astype(np.int64))
-                else:
+                if kind == "dense_rank":
                     runs = np.cumsum(tie)
                     base = runs[pstart_idx[run_id]]
                     cols[out] = pa.array((runs - base + 1).astype(np.int64))
+                elif kind == "cume_dist":
+                    # last row of the tie-run, partition-relative
+                    nxt = np.append(np.flatnonzero(tie), n)
+                    last = nxt[np.cumsum(tie)] - 1
+                    size = np.diff(np.append(pstart_idx, n))[run_id]
+                    cols[out] = pa.array((pos[last] + 1) / size)
+                else:
+                    first = np.flatnonzero(tie)[np.cumsum(tie) - 1]
+                    rank = pos[first] + 1
+                    if kind == "rank":
+                        cols[out] = pa.array(rank.astype(np.int64))
+                    else:  # percent_rank
+                        size = np.diff(np.append(pstart_idx, n))[run_id]
+                        denom = np.maximum(size - 1, 1)
+                        cols[out] = pa.array(
+                            np.where(size > 1, (rank - 1) / denom, 0.0))
             elif kind == "ntile":
                 nb = spec[1]
                 # SQL NTILE: first (size % n) buckets get ceil(size/n) rows
@@ -228,6 +245,8 @@ def _out_type(schema: pa.Schema, spec: tuple) -> pa.DataType:
     kind = spec[0]
     if kind in ("row_number", "rank", "dense_rank", "ntile"):
         return pa.int64()
+    if kind in ("percent_rank", "cume_dist"):
+        return pa.float64()
     if kind in ("lag", "lead"):
         return schema.field(spec[1]).type
     return pa.float64()

@@ -589,6 +589,8 @@ def q_window_user_activity(sf_dir: str):
             "rk": ("rank", ["vi"]),
             "dr": ("dense_rank", ["vi"]),
             "nt": ("ntile", 4),
+            "pr": ("percent_rank", ["vi"]),
+            "cd": ("cume_dist", ["vi"]),
             "prev_vi": ("lag", "vi", 1),
             "next_vi": ("lead", "vi", 1),
             "cum_vi": ("cumsum", "vi"),
@@ -1891,6 +1893,8 @@ SELECT user_id, event_id, event_id % 97 AS vi,
   rank() OVER (PARTITION BY user_id ORDER BY event_id % 97) AS rk,
   dense_rank() OVER (PARTITION BY user_id ORDER BY event_id % 97) AS dr,
   ntile(4) OVER w AS nt,
+  percent_rank() OVER (PARTITION BY user_id ORDER BY event_id % 97) AS pr,
+  cume_dist() OVER (PARTITION BY user_id ORDER BY event_id % 97) AS cd,
   lag(event_id % 97, 1) OVER w AS prev_vi,
   lead(event_id % 97, 1) OVER w AS next_vi,
   CAST(sum(event_id % 97) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING

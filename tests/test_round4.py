@@ -1510,7 +1510,7 @@ class TestRankOps:
         ds = self._ds(self._frame(n=100), parts=1)
         with pytest.raises(Exception, match="unknown window function"):
             window_funcs(ds, partition_cols="g", order_cols="id",
-                         funcs={"x": ("percent_rank",)},
+                         funcs={"x": ("mode_of_the_universe",)},
                          num_partitions=2).to_pandas()
 
 
@@ -1757,3 +1757,42 @@ class TestDenseRankNtile:
                             num_partitions=2)
                .to_pandas().sort_values("id"))
         assert out["nt"].tolist() == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPercentRankCumeDist:
+    def test_match_duckdb(self):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from datax_ray.ops.rank import window_funcs
+
+        rng = np.random.default_rng(5)
+        n = 6000
+        df = pd.DataFrame({"g": rng.integers(0, 40, n),
+                           "tie": rng.integers(0, 6, n),
+                           "id": np.arange(n)})
+        df.loc[0, "g"] = 999  # singleton partition: percent_rank -> 0.0
+        t = (pa.Table.from_pandas(df, preserve_index=False)
+             .replace_schema_metadata(None))
+        out = window_funcs(rd.from_arrow(t).repartition(5),
+                           partition_cols="g", order_cols=["tie", "id"],
+                           funcs={"pr": ("percent_rank", ["tie"]),
+                                  "cd": ("cume_dist", ["tie"])},
+                           num_partitions=8).to_pandas()
+        con = duckdb.connect()
+        con.register("df", df)
+        want = con.execute("""
+          SELECT g, tie, id,
+            percent_rank() OVER (PARTITION BY g ORDER BY tie) pr,
+            cume_dist() OVER (PARTITION BY g ORDER BY tie) cd
+          FROM df""").fetchdf()
+        key = ["g", "tie", "id"]
+        a = out.sort_values(key).reset_index(drop=True)
+        b = want.sort_values(key).reset_index(drop=True)
+        import pandas.testing as pdt
+        pdt.assert_series_equal(a["pr"], b["pr"], check_dtype=False,
+                                check_names=False)
+        pdt.assert_series_equal(a["cd"], b["cd"], check_dtype=False,
+                                check_names=False)
