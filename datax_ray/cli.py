@@ -411,7 +411,18 @@ def main(argv=None) -> int:
                          "per partition (see sinks/lake.backfill)")
     ap.add_argument("--tag", help="backfill tag (default: fn name); reruns "
                                   "with the same tag skip swapped partitions")
+    ap.add_argument("--vacuum", action="store_true",
+                    help="treat JOB as a lake dir and delete data files "
+                         "not referenced by the committed manifest "
+                         "(crashed-run garbage, replaced bases)")
     args = ap.parse_args(argv)
+
+    if args.vacuum:
+        from datax_ray.sinks.lake import vacuum
+
+        victims = vacuum(args.job)
+        print(json.dumps({"deleted": len(victims), "files": victims[:20]}))
+        return 0
 
     if args.backfill:
         from datax_ray.plugins import resolve_handler
