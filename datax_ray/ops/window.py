@@ -26,21 +26,39 @@ def add_tumbling_window(batch: pa.Table, *, ts_col: str = "ts",
     return batch.append_column(out, win.cast(batch[ts_col].type))
 
 
+def _combine_counts_sums(t: pa.Table, keys: list[str],
+                         value_col: str | None) -> pa.Table:
+    """Per-batch combiner: collapse a batch to one (count, sum) row per
+    key tuple BEFORE the exchange — the shuffle then moves
+    O(keys × windows-per-batch) rows instead of every event. Rename by
+    NAME (TableGroupBy's output order varies across pyarrow versions)."""
+    aggs = [([], "count_all")]
+    if value_col:
+        aggs.append((value_col, "sum"))
+    g = t.select(keys + ([value_col] if value_col else [])) \
+         .group_by(keys).aggregate(aggs)
+    ren = {"count_all": "_n", f"{value_col}_sum": "_vs"}
+    return g.rename_columns([ren.get(c, c) for c in g.column_names])
+
+
 def tumbling_agg(ds, *, key_col: str = "event_type", ts_col: str = "ts",
                  every_ms: int = 3_600_000, value_col: str = "value",
                  digits: int = 4):
-    """count + sum(value) per (key, window). The groupby input is already
-    tiny relative to the events (pre-aggregation happens implicitly via
-    Ray's partial aggregates)."""
-    from ray.data.aggregate import Count, Sum
+    """count + sum(value) per (key, window): per-batch combiner first
+    (each batch shrinks to its distinct (key, window) rows), then ONE
+    groupby over combiner output — the exchange moves partial aggregates,
+    never events."""
+    from ray.data.aggregate import Sum
 
     ds = ds.map_batches(
-        lambda t: add_tumbling_window(t, ts_col=ts_col, every_ms=every_ms),
+        lambda t: _combine_counts_sums(
+            add_tumbling_window(t, ts_col=ts_col, every_ms=every_ms),
+            [key_col, "window"], value_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
     out = ds.groupby([key_col, "window"]).aggregate(
-        Count(alias_name="n"), Sum(value_col, alias_name="sum_value")
+        Sum("_n", alias_name="n"), Sum("_vs", alias_name="sum_value")
     )
 
     def post(t: pa.Table) -> pa.Table:
@@ -128,7 +146,7 @@ def sliding_agg(ds, *, key_col: str = "event_type", ts_col: str = "ts",
     starts (valid by construction when step divides size), then ONE
     groupby. Window key is int64 epoch-us of the window start (kept
     integral so SQL oracles compare exactly)."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     k = size_ms // step_ms
     assert k * step_ms == size_ms, "step must divide size"
@@ -145,10 +163,13 @@ def sliding_agg(ds, *, key_col: str = "event_type", ts_col: str = "ts",
             parts.append(
                 t.append_column("window_us", pa.array(w.astype(np.int64)))
             )
-        return pa.concat_tables(parts)
+        # combine BEFORE the exchange: the k-way replication never leaves
+        # the batch — the shuffle carries (key, window, n, sum) partials
+        return _combine_counts_sums(pa.concat_tables(parts),
+                                    [key_col, "window_us"], value_col)
 
     ds = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    aggs = [Count(alias_name="n")]
+    aggs = [Sum("_n", alias_name="n")]
     if value_col:
-        aggs.append(Sum(value_col, alias_name="sum_value"))
+        aggs.append(Sum("_vs", alias_name="sum_value"))
     return ds.groupby([key_col, "window_us"]).aggregate(*aggs)
