@@ -204,12 +204,13 @@ def route_late_events(ds, *, ts_col: str = "ts", order_col: str = "lsn",
     correction path (the Flink allowed-lateness contract, expressed as
     two Dataset filters)."""
     def to_int(t: pa.Table) -> pa.Table:
-        return t.append_column("_ts_i", t[ts_col].cast(pa.int64()))
+        # normalize to µs INSIDE the batch (timestamp-unit cast rescales):
+        # probing ds.schema() on the driver would trigger a whole extra
+        # execution of the upstream pipeline just to learn the unit
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        return t.append_column("_ts_i", us)
 
-    # probe the unit from the dataset schema (cheap: metadata only)
-    ts_type = dict(zip(ds.schema().names, ds.schema().types))[ts_col]
-    scale = {"s": 0.001, "ms": 1, "us": 1000, "ns": 1_000_000}[ts_type.unit]
-    delay = np.int64(round(allowed_lateness_ms * scale))
+    delay = np.int64(allowed_lateness_ms) * 1000  # µs
 
     scanned = prefix_max(
         ds.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True),
