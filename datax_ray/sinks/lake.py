@@ -230,6 +230,13 @@ def backfill(lake_dir: str, fn, *, tag: str | None = None) -> dict:
     key/version columns intact (validated per partition). Like
     compaction, backfill folds history: time travel reaches only
     post-backfill epochs afterwards.
+
+    Run against a quiesced lake: a partition is skipped on resume only
+    while its swapped base is its ONLY file, so if new deltas land
+    between a crash and the re-run, that partition is re-folded and
+    ``fn`` runs again over rows it already transformed — make ``fn``
+    idempotent (e.g. overwrite a derived column rather than append to a
+    value) if ingest cannot be paused.
     """
     import ray.data as rd
 
