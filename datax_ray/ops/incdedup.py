@@ -191,6 +191,9 @@ def incremental_dedup(epochs, *, num_shards: int = 16,
     """
     import ray
 
+    epochs = list(epochs)
+    if not epochs:
+        raise ValueError("incremental_dedup needs at least one epoch")
     shards = start_index(num_shards)
     outs = []
     for ds in epochs:
