@@ -521,6 +521,12 @@ class TailResult:
     events_applied: int
     #: next lsn the lake expects (high-water mark applied, exclusive)
     last_lsn_exclusive: int
+    #: lsn ranges THIS tail actually executed (union over its
+    #: replay_files calls) — dirty accounting must use these, not
+    #: [0, last_lsn_exclusive), or a resumed tail re-counts dead letters
+    #: from epochs committed by earlier runs (same executed_ranges
+    #: attribution contract as ReplayResult)
+    executed_ranges: list = field(default_factory=list)
 
 
 def tail_files(
@@ -586,6 +592,7 @@ def tail_files(
         applied = 0
 
     polls = replays = events = idle = 0
+    executed: list = []
     while True:
         polls += 1
         avail = high_water()
@@ -597,6 +604,7 @@ def tail_files(
             )
             replays += 1
             events += res.events_applied
+            executed.extend(res.executed_ranges)
             applied = avail
             idle = 0
         else:
@@ -609,4 +617,4 @@ def tail_files(
         if max_polls is not None and polls >= max_polls:
             break
     return TailResult(polls=polls, replays=replays, events_applied=events,
-                      last_lsn_exclusive=applied)
+                      last_lsn_exclusive=applied, executed_ranges=executed)

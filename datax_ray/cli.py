@@ -234,7 +234,7 @@ def _run_lake_upsert(reader_p: dict, writer_p: dict, resume: bool,
         except FileNotFoundError:
             metrics = {}   # tail saw no data: no lake was created
         dirty = dead_letter_rows_for_ranges(
-            dead_letter_dir, [(0, tr.last_lsn_exclusive)])
+            dead_letter_dir, tr.executed_ranges)
         totals = {"input": tr.events_applied + dirty, "dirty": dirty}
         return {
             "tail": True,

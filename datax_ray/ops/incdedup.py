@@ -9,7 +9,7 @@ SHARDED MUTABLE FINGERPRINT INDEX as long-lived Ray actors (the one piece
 of state the Dataset API genuinely cannot express — a lookup structure
 updated across epochs), and each epoch costs:
 
-  epoch → map_batches(fingerprint + in-batch combiner)     # vectorized
+  epoch → map_batches(fingerprint + partition tag)         # vectorized
         → groupby(part = hash(fp) % P).map_groups(fold)    # ONE shuffle of
                                                            #   epoch rows only
   fold: within-epoch winner per fp (min id, deterministic regardless of
@@ -44,7 +44,6 @@ import pandas as pd
 import pyarrow as pa
 
 from datax_ray.cdc.merge import stable_hash
-from datax_ray.ops.dedup import _first_per_key
 from datax_ray.ops.text import add_fingerprint
 
 

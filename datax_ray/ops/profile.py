@@ -66,9 +66,8 @@ def profile_columns(ds, columns: list[str]) -> pa.Table:
     """
     schema = ds.schema()  # ray.data Schema: parallel .names / .types
     types = dict(zip(schema.names, schema.types))
-    numeric = {c for c in columns
-               if pa.types.is_integer(types[c])
-               or pa.types.is_floating(types[c])}
+    integral = {c for c in columns if pa.types.is_integer(types[c])}
+    floating = {c for c in columns if pa.types.is_floating(types[c])}
     parts = ds.map_batches(
         lambda t: _partial_rows(t, columns),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -84,10 +83,14 @@ def profile_columns(ds, columns: list[str]) -> pa.Table:
         for key, keep in (("min_value", min), ("max_value", max)):
             if r[key] is not None:
                 # numeric partials must fold in NUMERIC order ("10" < "9"
-                # lexicographically); re-typed here, stringified at the end
+                # lexicographically); re-typed BY COLUMN TYPE (not string
+                # shape — float str() may be '1e-05'/'inf'/'nan'), then
+                # stringified at the end
                 v = r[key]
-                if r["column"] in numeric:
-                    v = float(v) if "." in v else int(v)
+                if r["column"] in floating:
+                    v = float(v)
+                elif r["column"] in integral:
+                    v = int(v)
                 a[key] = v if a[key] is None else keep(a[key], v)
         if r["len_sum"] is not None:
             a["len_sum"] = (a["len_sum"] or 0) + r["len_sum"]

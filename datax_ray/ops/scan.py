@@ -70,7 +70,10 @@ def prefix_sum(ds, *, key_col: str, value_col: str,
 
     def add_bucket(t: pa.Table) -> pa.Table:
         b = np.asarray(t[key_col]).astype(np.int64) // bucket_size
-        return t.append_column("_bucket", pa.array(b.astype(np.int32)))
+        # _bucket stays int64: an int32 cast would wrap keys >= 2^31 *
+        # bucket_size into buckets the int64-keyed offsets dict never saw
+        # (off.get -> 0), silently corrupting running totals at scale.
+        return t.append_column("_bucket", pa.array(b))
 
     def scan(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -165,7 +168,10 @@ def prefix_max(ds, *, key_col: str, value_col: str,
 
     def add_bucket(t: pa.Table) -> pa.Table:
         b = np.asarray(t[key_col]).astype(np.int64) // bucket_size
-        return t.append_column("_bucket", pa.array(b.astype(np.int32)))
+        # _bucket stays int64: an int32 cast would wrap keys >= 2^31 *
+        # bucket_size into buckets the int64-keyed offsets dict never saw
+        # (off.get -> 0), silently corrupting running totals at scale.
+        return t.append_column("_bucket", pa.array(b))
 
     def scan(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:

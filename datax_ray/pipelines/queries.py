@@ -2444,6 +2444,34 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 }
 
 QUERIES = {
+    # Driver-correctness rotation (r5): the driver checks the FIRST 50
+    # entries per round; entries with no CORRECTNESS_r03/r04 row lead so
+    # every operator accumulates a green driver row across rounds.
+    "incremental_dedup": q_incremental_dedup,
+    "bm25_scores": q_bm25_scores,
+    "profile_documents": q_profile_documents,
+    "kmeans_embeddings": q_kmeans_embeddings,
+    "late_events": q_late_events,
+    "token_budget_head": q_token_budget_head,
+    "knn_ivf": q_knn_ivf,
+    "sketch_quantiles": q_sketch_quantiles,
+    "hll_distinct": q_hll_distinct,
+    "reservoir_sample": q_reservoir_sample,
+    "connected_components": q_connected_components,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_neardup": q_embedding_neardup,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "quality_filter": q_quality_filter,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "text_winnow": q_text_winnow,
+    "knn_bruteforce": q_knn_bruteforce,
+    "embedding_neardup_exact": q_embedding_neardup_exact,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_audio": q_multimodal_audio,
+    "multimodal_frames": q_multimodal_frames,
     "cdc_lww_merge": q_cdc_lww_merge,
     "cdc_backfill": q_cdc_backfill,
     "cdc_lww_merge_salted": q_cdc_lww_merge_salted,
@@ -2494,29 +2522,4 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_exact": q_dedup_exact,
-    "incremental_dedup": q_incremental_dedup,
-    "bm25_scores": q_bm25_scores,
-    "profile_documents": q_profile_documents,
-    "kmeans_embeddings": q_kmeans_embeddings,
-    "late_events": q_late_events,
-    "token_budget_head": q_token_budget_head,
-    "text_tokens": q_text_tokens,
-    "text_quality": q_text_quality,
-    "quality_filter": q_quality_filter,
-    "text_langid": q_text_langid,
-    "text_fingerprint": q_text_fingerprint,
-    "text_winnow": q_text_winnow,
-    "knn_bruteforce": q_knn_bruteforce,
-    "knn_ivf": q_knn_ivf,
-    "sketch_quantiles": q_sketch_quantiles,
-    "hll_distinct": q_hll_distinct,
-    "reservoir_sample": q_reservoir_sample,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash_pairs": q_simhash_pairs,
-    "embedding_neardup": q_embedding_neardup,
-    "embedding_neardup_exact": q_embedding_neardup_exact,
-    "connected_components": q_connected_components,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_audio": q_multimodal_audio,
-    "multimodal_frames": q_multimodal_frames,
 }

@@ -28,6 +28,8 @@ Job-spec usage::
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -68,7 +70,12 @@ class Lookup(Transform):
         if self._state is None:
             t = self._src
             if isinstance(t, pa.Table):
+                # id(t) is only unique while t is alive — a weakref
+                # finalizer evicts the entry when the table is collected
+                # so a recycled id can never hit a stale index.
                 key = (id(t), self.dim_key, tuple(self.columns or ()))
+                if key not in _PROBE_CACHE:
+                    weakref.finalize(t, _PROBE_CACHE.pop, key, None)
             else:
                 key = (str(t), self.dim_key, tuple(self.columns or ()))
             cached = _PROBE_CACHE.get(key)
