@@ -76,6 +76,10 @@ def run_bench() -> dict:
     ray.init(
         address="local", num_cpus=ncpu, include_dashboard=False,
         ignore_reinit_error=True, logging_level="ERROR",
+        # don't stream worker logs into this process's stdout: expected
+        # SIGTERM teardown stacks from Ray's own shutdown otherwise land
+        # inside the captured bench output and mask real crashes
+        log_to_driver=False,
     )
     from ray.data import DataContext
 
@@ -140,11 +144,15 @@ def run_bench() -> dict:
             replay_secs, res = secs, r
     events_per_sec = res.events_applied / replay_secs
 
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = sf_dir
     out = {
         "metric": "cdc_replay_events_apply",
         "value": round(replay_secs, 3),
         "unit": "sec",
-        "sf": 0.1,
+        "sf": sf,
         "num_cpus": ncpu,
         "events": res.events_applied,
         "events_per_sec": round(events_per_sec, 1),
@@ -191,14 +199,32 @@ def run_bench() -> dict:
             "grouped_topk_orders",
             "window_user_activity",
         ]
+        # per-query median-of-QREPS (default 3): sub-second sf0.1 queries
+        # are dominated by host noise on a shared sandbox, so a single
+        # sample can't distinguish a real 1.5× regression from a slow
+        # window. `queries` stays {name: seconds} (median) for the driver;
+        # `query_stats` carries {median, reps, times, cap4} — cap4 is a
+        # short fixed-concurrency busy-loop probe sampled NEXT TO each
+        # query, the drift index to normalize against across rounds.
+        qreps = int(os.environ.get("BENCH_QUERY_REPS", "3"))
+        out["query_stats"] = {}
         for name in subset:
-            t0 = time.perf_counter()
+            times = []
             try:
-                resq = Q.QUERIES[name](sf_dir)
-                _ = resq.count() if hasattr(resq, "count") else len(resq)
-                out["queries"][name] = round(time.perf_counter() - t0, 3)
+                for _ in range(qreps):
+                    t0 = time.perf_counter()
+                    resq = Q.QUERIES[name](sf_dir)
+                    _ = resq.count() if hasattr(resq, "count") else len(resq)
+                    times.append(round(time.perf_counter() - t0, 3))
             except Exception as e:  # one broken query must not kill the line
                 out["queries"][name] = f"error: {type(e).__name__}"
+                continue
+            med = sorted(times)[len(times) // 2]
+            out["queries"][name] = med
+            out["query_stats"][name] = {
+                "median": med, "reps": qreps, "times": times,
+                "cap4": round(cpu_capacity(4, secs=0.3), 1),
+            }
     ray.shutdown()
     return out
 

@@ -154,25 +154,40 @@ def winnow_batch(texts: list[str | None], k: int = 8, w: int = 4
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    arr = pa.array(pd.Series(texts, dtype=object).fillna(""), pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(pd.Series(texts, dtype=object).fillna(""), pa.string())
+    arr = pc.fill_null(arr, "")
     norm = pc.replace_substring_regex(
         pc.replace_substring_regex(pc.utf8_lower(arr), r"\s+", " "),
         r"^ | $",
         "",
     )
-    s = pd.Series(norm.to_pylist(), dtype=object)
-    enc = s.str.encode("utf-8")
-    lengths = enc.str.len().to_numpy(dtype=np.int64)
-    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    # A StringArray IS the flat UTF-8 byte array + offsets this kernel
+    # wants — read both buffers directly (large_string for int64
+    # offsets) instead of per-row to_pylist/encode/join, which was the
+    # last Python-rate term on the winnowing path.
+    big = norm.cast(pa.large_string())
+    if isinstance(big, pa.ChunkedArray):
+        big = big.combine_chunks()
+    n_docs = len(big)
+    raw_off = np.frombuffer(big.buffers()[1], dtype=np.int64)[
+        big.offset : big.offset + n_docs + 1]
+    lengths = np.diff(raw_off)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     total = int(offsets[-1])
     gram_counts = np.maximum(lengths - k + 1, 0)
-    g_off = np.zeros(len(texts) + 1, dtype=np.int64)
+    g_off = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(gram_counts, out=g_off[1:])
     n_grams = int(g_off[-1])
     if n_grams == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
-    flat = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8).astype(np.uint64)
+    data = np.frombuffer(big.buffers()[2], dtype=np.uint8)
+    flat = data[raw_off[0] : raw_off[0] + total].astype(np.uint64)
     # rolling hash of every k-byte window of the flat array (windows that
     # cross doc boundaries are never selected below)
     with np.errstate(over="ignore"):

@@ -25,9 +25,12 @@ epoch beats later epoch; within an epoch the smallest ``id_col`` wins.
 
 Index memory at scale: ~40 B per distinct document (hex fp + id in the
 shard's arrays). 10^10 docs ≈ 400 GB — sharded over a 256-node cluster
-that is ~1.6 GB/node, the unavoidable price of O(1)-per-epoch streaming
-dedup (production would back each shard with a RocksDB-style SST; the
-actor interface is the same). Lookups/inserts are vectorized
+that is ~1.6 GB/node in the default all-RAM mode. For tighter memory
+budgets each shard takes ``max_mem_keys``: when the consolidated heap
+exceeds it, the heap flushes to a SORTED RUN on disk (fixed-width 'S32'
+fps + int64 ids, memory-mapped, probed by vectorized ``searchsorted``)
+— the RocksDB-style SST shape, same actor interface, same results
+(tests pin spill-forced == all-RAM). Lookups/inserts are vectorized
 (pandas ``Index.get_indexer`` — a batched hash-table probe), with chunked
 growth and deferred index rebuilds so a shard never rebuilds per batch.
 
@@ -56,7 +59,9 @@ class FingerprintIndexShard:
     ``rebuild_ratio`` of the consolidated part — amortized O(1) per key.
     """
 
-    def __init__(self, rebuild_ratio: float = 0.25):
+    def __init__(self, rebuild_ratio: float = 0.25,
+                 max_mem_keys: int | None = None,
+                 spill_dir: str | None = None):
         self._fps: np.ndarray = np.empty(0, dtype=object)
         self._ids: np.ndarray = np.empty(0, dtype=np.int64)
         self._index = pd.Index(self._fps)
@@ -64,6 +69,61 @@ class FingerprintIndexShard:
         self._pend_ids: list[np.ndarray] = []
         self._pend_n = 0
         self._ratio = rebuild_ratio
+        #: disk-backed mode: once the consolidated in-memory part exceeds
+        #: ``max_mem_keys``, it is flushed to a SORTED RUN on disk
+        #: (fixed-width 'S32' fps + int64 ids, memory-mapped, probed by
+        #: searchsorted) and the heap starts empty again. Fingerprints
+        #: are globally unique across the index (only misses insert), so
+        #: a key lives in exactly one place and probe order is free.
+        #: Runs append without merging — probing k runs costs k binary
+        #: searches; a production shard would tier-compact them
+        #: (RocksDB-style), which only changes constants, not results.
+        self._max_mem = max_mem_keys
+        self._spill_dir = spill_dir
+        self._runs: list[tuple[str, str, int]] = []  # (fps_path, ids_path, n)
+
+    def _spill(self) -> None:
+        import os
+        import tempfile
+
+        if self._spill_dir is None:
+            self._spill_dir = tempfile.mkdtemp(prefix="datax_fpshard_")
+        os.makedirs(self._spill_dir, exist_ok=True)
+        order = np.argsort(self._fps.astype("S32"), kind="stable")
+        run_fps = self._fps.astype("S32")[order]
+        run_ids = self._ids[order]
+        tag = f"run-{len(self._runs):05d}"
+        fps_path = os.path.join(self._spill_dir, f"{tag}-fps.npy")
+        ids_path = os.path.join(self._spill_dir, f"{tag}-ids.npy")
+        np.save(fps_path, run_fps, allow_pickle=False)
+        np.save(ids_path, run_ids, allow_pickle=False)
+        self._runs.append((fps_path, ids_path, len(run_fps)))
+        self._fps = np.empty(0, dtype=object)
+        self._ids = np.empty(0, dtype=np.int64)
+        self._index = pd.Index(self._fps)
+
+    def _probe_runs(self, fps: np.ndarray, out: np.ndarray,
+                    miss: np.ndarray) -> np.ndarray:
+        """Probe every disk run for the still-missing fps; updates
+        ``out`` in place and returns the narrowed miss mask."""
+        if not self._runs or not miss.any():
+            return miss
+        mi = np.flatnonzero(miss)
+        keys = fps[mi].astype("S32")
+        for fps_path, ids_path, n in self._runs:
+            if not len(mi):
+                break
+            run_fps = np.load(fps_path, mmap_mode="r")
+            pos = np.searchsorted(run_fps, keys)
+            pos_c = np.minimum(pos, n - 1)
+            hit = run_fps[pos_c] == keys
+            if hit.any():
+                run_ids = np.load(ids_path, mmap_mode="r")
+                out[mi[hit]] = run_ids[pos_c[hit]]
+                mi, keys = mi[~hit], keys[~hit]
+        new_miss = np.zeros(len(fps), dtype=bool)
+        new_miss[mi] = True
+        return new_miss
 
     def _consolidate(self) -> None:
         if not self._pend_fps:
@@ -72,6 +132,8 @@ class FingerprintIndexShard:
         self._ids = np.concatenate([self._ids, *self._pend_ids])
         self._index = pd.Index(self._fps)
         self._pend_fps, self._pend_ids, self._pend_n = [], [], 0
+        if self._max_mem is not None and len(self._fps) > self._max_mem:
+            self._spill()
 
     def check_and_insert(self, fps: np.ndarray, ids: np.ndarray) -> np.ndarray:
         """For each (fingerprint, candidate-id): return the OWNING id —
@@ -88,6 +150,7 @@ class FingerprintIndexShard:
             miss = ~hit
         else:
             miss = np.ones(len(fps), dtype=bool)
+        miss = self._probe_runs(fps, out, miss)
         if miss.any() and self._pend_n:
             # probe the pending (not-yet-consolidated) chunk too — it is
             # ≤ ratio × consolidated size, so this temp index stays cheap
@@ -109,10 +172,17 @@ class FingerprintIndexShard:
         return out
 
     def size(self) -> int:
-        return len(self._fps) + self._pend_n
+        return (len(self._fps) + self._pend_n
+                + sum(n for _, _, n in self._runs))
+
+    def stats(self) -> dict:
+        return {"mem_keys": len(self._fps) + self._pend_n,
+                "spilled_keys": sum(n for _, _, n in self._runs),
+                "n_runs": len(self._runs)}
 
 
-def start_index(num_shards: int):
+def start_index(num_shards: int, *, max_mem_keys: int | None = None,
+                spill_dir: str | None = None):
     """Spawn the shard actors. The caller owns their lifetime (keep the
     returned handles referenced while the stream runs, ``ray.kill`` them
     when done — Dataset lineage can pin the handles long after).
@@ -125,8 +195,14 @@ def start_index(num_shards: int):
     import ray
 
     Shard = ray.remote(FingerprintIndexShard)
-    return [Shard.options(num_cpus=0, scheduling_strategy="SPREAD").remote()
-            for _ in range(num_shards)]
+    return [
+        Shard.options(num_cpus=0, scheduling_strategy="SPREAD").remote(
+            max_mem_keys=max_mem_keys,
+            spill_dir=None if spill_dir is None
+            else f"{spill_dir}/shard-{i:03d}",
+        )
+        for i in range(num_shards)
+    ]
 
 
 def flag_epoch(ds, shards, *, text_col: str = "text",
@@ -180,7 +256,9 @@ def flag_epoch(ds, shards, *, text_col: str = "text",
 
 def incremental_dedup(epochs, *, num_shards: int = 16,
                       text_col: str = "text", id_col: str = "doc_id",
-                      fingerprint_mode: str = "fast"):
+                      fingerprint_mode: str = "fast",
+                      max_mem_keys: int | None = None,
+                      spill_dir: str | None = None):
     """Run a sequence of epoch Datasets through a fresh index, in order.
 
     Each epoch's flags are materialized (they are key-sized — id + id +
@@ -193,7 +271,8 @@ def incremental_dedup(epochs, *, num_shards: int = 16,
     epochs = list(epochs)
     if not epochs:
         raise ValueError("incremental_dedup needs at least one epoch")
-    shards = start_index(num_shards)
+    shards = start_index(num_shards, max_mem_keys=max_mem_keys,
+                         spill_dir=spill_dir)
     outs = []
     for ds in epochs:
         outs.append(flag_epoch(ds, shards, text_col=text_col,

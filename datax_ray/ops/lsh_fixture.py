@@ -9,7 +9,11 @@ the engine-computed signatures to a parquet that DuckDB reads, and the
 driver's oracle replays band→bucket→pair→verify in SQL over those exact
 bytes while the engine query runs the full text→signature→pairs pipeline
 over the source documents. Identical results end-to-end ⇒ the LSH plan is
-hash-gated; the raw kernels stay pytest-covered (tests/test_ops.py).
+hash-gated; the raw kernels stay pytest-covered (tests/test_ops.py) AND
+witnessed by an independent scalar re-derivation with pinned literal
+signatures (tests/test_lsh_reference.py) — the fixture is not circular:
+a kernel regression fails the reference pin even though the oracle
+parquet is engine-emitted.
 
 Same ensure-from-both-sides pattern as ``ops.multimodal.ensure_media_fixture``
 (multimodal.py:349-368): the query side ensures for its ``sf_dir``, the

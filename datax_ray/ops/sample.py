@@ -148,7 +148,8 @@ def stratified_sample(ds, *, key_col: str, id_col: str, k: int,
     )
 
 
-def reservoir_sample(ds, *, k: int, seed: int = 0):
+def reservoir_sample(ds, *, k: int, seed: int = 0,
+                     num_partitions: int = 32):
     """Uniform fixed-k sample without materializing the dataset. Each
     block draws a seeded uniform key per row and keeps its local top-k;
     the global top-k of the candidates equals the top-k over ALL rows'
@@ -156,7 +157,13 @@ def reservoir_sample(ds, *, k: int, seed: int = 0):
     the driver, never the data. Returns a pyarrow Table (≤ k rows).
 
     Deterministic for a fixed (seed, block content); a repartitioned
-    input yields a different — equally uniform — sample."""
+    input yields a different — equally uniform — sample.
+
+    Candidate funnel is TWO-LEVEL so the driver fold stays bounded: block
+    top-k → hash-spread groupby fold (``num_partitions`` groups, top-k
+    each) → driver folds ≤ k × num_partitions rows, regardless of block
+    count (at 10^5–10^6 blocks a single-level take_all would drag
+    millions of candidate rows onto the driver)."""
     if k <= 0:
         raise ValueError("k must be positive")
 
@@ -174,7 +181,28 @@ def reservoir_sample(ds, *, k: int, seed: int = 0):
             "_w", pa.array(u[idx], pa.float64())
         )
 
-    cand = ds.map_batches(local, batch_format="pyarrow").take_all()
+    def spread(t: pa.Table) -> pa.Table:
+        # spread candidates over num_partitions fold groups (round-robin
+        # inside the batch: _w is already uniform-random, any
+        # _w-independent assignment keeps the top-k exact)
+        part = (np.arange(t.num_rows, dtype=np.int64) % num_partitions
+                ).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_part"])
+        if g.num_rows <= k:
+            return g
+        w = np.asarray(g["_w"])
+        idx = np.argpartition(-w, k - 1)[:k]
+        return g.take(pa.array(np.sort(idx)))
+
+    cand = (ds.map_batches(local, batch_format="pyarrow")
+            .map_batches(spread, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("_part")
+            .map_groups(fold, batch_format="pyarrow")
+            .take_all())
     if not cand:
         return None
     import pandas as pd

@@ -28,11 +28,22 @@ from datax_ray.util import filter_paths
 
 
 def list_files(path: str | list[str], *, path_regex: str | None = None) -> list[str]:
+    """Expand a path/glob/dir (or list of them) to concrete file paths.
+
+    ``scheme://`` URIs (s3://, memory://, gs://, …) route through fsspec —
+    the remote-FS passthrough standing in for the reference's ftp/oss
+    readers (ftpreader/, ossreader/: network services, out of scope as
+    live plugins; any filesystem Arrow/fsspec can mount works here).
+    Returned entries keep their scheme so downstream opens route the same
+    way (Ray Data natives accept fsspec URIs directly)."""
     if isinstance(path, list):
         out = []
         for p in path:
             out.extend(list_files(p, path_regex=None))
         return filter_paths(sorted(out), path_regex)
+    if "://" in path:
+        found = sorted(_fsspec_list(path))
+        return filter_paths(found, path_regex)
     if os.path.isdir(path):
         found = sorted(
             os.path.join(dp, f) for dp, _, fs in os.walk(path) for f in fs
@@ -42,6 +53,53 @@ def list_files(path: str | list[str], *, path_regex: str | None = None) -> list[
     else:
         found = [path]
     return filter_paths(found, path_regex)
+
+
+def _fsspec_list(uri: str) -> list[str]:
+    import fsspec
+
+    fs, inner = fsspec.core.url_to_fs(uri)
+    scheme = uri.split("://", 1)[0]
+    if any(c in inner for c in "*?["):
+        hits = fs.glob(inner)
+    elif fs.isdir(inner):
+        hits = fs.find(inner)
+    else:
+        hits = [inner] if fs.exists(inner) else []
+    return [f"{scheme}://{h.lstrip('/') if scheme == 'memory' else h}"
+            for h in hits]
+
+
+def _ray_fs_paths(files: list[str]):
+    """(filesystem, paths) for Ray Data read APIs: scheme URIs Arrow
+    doesn't natively mount (memory://, ftp://…) get an fsspec-backed
+    pyarrow filesystem + scheme-stripped paths; plain/native paths pass
+    through with filesystem=None."""
+    if not files or not any("://" in f for f in files):
+        return None, files
+    import fsspec
+    from pyarrow.fs import FSSpecHandler, PyFileSystem
+
+    try:  # Arrow-native schemes (s3://, gs://, file://) need no wrapper
+        import pyarrow.fs as pafs
+
+        afs, _ = pafs.FileSystem.from_uri(files[0])
+        return afs, [pafs.FileSystem.from_uri(f)[1] for f in files]
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, OSError):
+        pass
+    fs, first = fsspec.core.url_to_fs(files[0])
+    paths = [fsspec.core.url_to_fs(f)[1] for f in files]
+    return PyFileSystem(FSSpecHandler(fs)), paths
+
+
+def open_input(path: str, mode: str = "rb"):
+    """Open one input for the pyarrow-direct readers: local ``open`` for
+    plain paths, ``fsspec.open`` for scheme URIs."""
+    if "://" in path:
+        import fsspec
+
+        return fsspec.open(path, mode).open()
+    return open(path, mode)
 
 
 def read_orc(path: str | list[str], *, columns: list[str] | None = None,
@@ -57,6 +115,9 @@ def read_orc(path: str | list[str], *, columns: list[str] | None = None,
         from pyarrow import orc
 
         f = str(batch["file"][0])
+        if "://" in f:
+            with open_input(f) as fh:
+                return orc.read_table(fh, columns=columns)
         return orc.read_table(f, columns=columns)
 
     return rd.from_items([{"file": f} for f in files]).map_batches(
@@ -67,13 +128,15 @@ def read_orc(path: str | list[str], *, columns: list[str] | None = None,
 def read_jsonl(path: str | list[str], *, path_regex: str | None = None, **kwargs):
     import ray.data as rd
 
-    return rd.read_json(list_files(path, path_regex=path_regex), **kwargs)
+    fs, files = _ray_fs_paths(list_files(path, path_regex=path_regex))
+    return rd.read_json(files, filesystem=kwargs.pop("filesystem", fs), **kwargs)
 
 
 def read_text(path: str | list[str], *, path_regex: str | None = None, **kwargs):
     import ray.data as rd
 
-    return rd.read_text(list_files(path, path_regex=path_regex), **kwargs)
+    fs, files = _ray_fs_paths(list_files(path, path_regex=path_regex))
+    return rd.read_text(files, filesystem=kwargs.pop("filesystem", fs), **kwargs)
 
 
 def read_binary_media(path: str | list[str], *, mime: str = "application/octet-stream",
@@ -82,8 +145,8 @@ def read_binary_media(path: str | list[str], *, mime: str = "application/octet-s
     payload bytes); feed into ops.multimodal actor-pool stages."""
     import ray.data as rd
 
-    ds = rd.read_binary_files(list_files(path, path_regex=path_regex),
-                              include_paths=True)
+    fs, files = _ray_fs_paths(list_files(path, path_regex=path_regex))
+    ds = rd.read_binary_files(files, filesystem=fs, include_paths=True)
 
     def shape(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -190,12 +190,15 @@ def generate_changelog_block(spec: ChangelogSpec, block_id: int) -> pa.Table:
         # F3 fixture: from the marked lsn on, events carry a new nullable
         # column `tool_args` and a widened turn_idx (int64, values unchanged)
         evolved_mask = lsn >= spec.evolve_from_lsn
-        tool_args = np.where(
-            evolved_mask & ~is_del & (np.asarray(role, dtype=object) == "tool"),
-            pd.Series(lsn).map('{{"arg": {}}}'.format).to_numpy(dtype=object),
-            None,
-        )
-        table = table.append_column("tool_args", pa.array(tool_args, type=pa.string()))
+        # vectorized JSON build (Arrow binary_join over the stringified
+        # lsn) — a per-row .map(format) here gated how large a soak the
+        # fixture generator could afford
+        json_all = _pc.binary_join_element_wise(
+            '{"arg": ', _pc.cast(pa.array(lsn), pa.string()), "}", "")
+        carry = evolved_mask & ~is_del & (np.asarray(role, dtype=object) == "tool")
+        tool_args = _pc.if_else(pa.array(carry), json_all,
+                                pa.scalar(None, pa.string()))
+        table = table.append_column("tool_args", tool_args)
         table = table.set_column(
             table.schema.get_field_index("turn_idx"),
             pa.field("turn_idx", pa.int64()),

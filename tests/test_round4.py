@@ -1193,6 +1193,40 @@ class TestIncrementalDedup:
         assert out.loc[21, "is_dup"] and out.loc[21, "first_doc_id"] == 2
         assert len(out) == 8
 
+    def test_shard_spill_forced_same_results(self, tmp_path):
+        """A memory-capped shard spills sorted runs to disk and returns
+        exactly what the all-RAM shard returns."""
+        from datax_ray.ops.incdedup import FingerprintIndexShard
+
+        rng = np.random.default_rng(5)
+        ram = FingerprintIndexShard()
+        capped = FingerprintIndexShard(
+            rebuild_ratio=0.1, max_mem_keys=8, spill_dir=str(tmp_path))
+        universe = np.array([f"{i:032x}" for i in range(60)], dtype=object)
+        next_id = 1000
+        for _ in range(12):
+            ks = rng.choice(universe, size=10, replace=False)
+            ids = np.arange(next_id, next_id + 10)
+            next_id += 10
+            a = ram.check_and_insert(ks.copy(), ids.copy())
+            b = capped.check_and_insert(ks.copy(), ids.copy())
+            assert list(a) == list(b)
+        st = capped.stats()
+        assert st["n_runs"] >= 1 and st["spilled_keys"] > 0
+        assert st["mem_keys"] <= 8 + 10  # heap + one pending chunk
+        assert capped.size() == ram.size()
+
+    def test_incremental_dedup_spill_matches_memory(self, ray_session,
+                                                    tmp_path):
+        from datax_ray.ops.incdedup import incremental_dedup
+
+        a = (incremental_dedup(self._epochs(ray_session), num_shards=2)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (incremental_dedup(self._epochs(ray_session), num_shards=2,
+                               max_mem_keys=1, spill_dir=str(tmp_path))
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
     def test_fast_and_md5_fingerprints_agree(self, ray_session):
         from datax_ray.ops.incdedup import incremental_dedup
 
