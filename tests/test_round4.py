@@ -655,6 +655,27 @@ class TestDistributedScan:
         want = np.cumsum(v) if not exclusive else np.cumsum(v) - v
         np.testing.assert_array_equal(out.running_total.values, want)
 
+    def test_prefix_sum_keys_beyond_int32_buckets(self):
+        """Keys whose bucket id exceeds int32 must not wrap (regression:
+        an int32 _bucket cast silently missed the int64 offset map)."""
+        import ray.data as rd
+
+        from datax_ray.ops.scan import prefix_sum
+
+        base = np.int64(1) << 41  # bucket id ~2^31 at bucket_size=1024
+        # spans three buckets so cross-bucket offsets are exercised too
+        keys = base + np.array([1024, 0, 2048, 1023, 2047, 5000],
+                               dtype=np.int64)
+        vals = np.array([10, 20, 30, 40, 50, 60], dtype=np.int64)
+        ds = rd.from_arrow(pa.table({"k": pa.array(keys),
+                                     "v": pa.array(vals)})).repartition(3)
+        out = (prefix_sum(ds, key_col="k", value_col="v", bucket_size=1024,
+                          exclusive=False)
+               .to_pandas().sort_values("k"))
+        order = np.argsort(keys)
+        np.testing.assert_array_equal(out.running_total.values,
+                                      np.cumsum(vals[order]))
+
     def test_bucket_size_invariance(self):
         from datax_ray.ops.scan import prefix_sum
 
