@@ -788,6 +788,11 @@ def connected_components_distributed(pairs_ds, *, max_rounds: int = 20,
         )
 
     edg_tagged = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+    # converged when the total label sum stops decreasing; the previous
+    # round's sum is CARRIED, not recomputed (labels is materialized, but
+    # re-summing it still costs a per-round aggregate pass — measurable
+    # when rounds are overhead-bound on small candidate sets)
+    old_sum = labels.sum("label")
     for _ in range(max_rounds):
         lab_tagged = labels.map_batches(tag_labels, batch_format="pyarrow")
         par_tagged = labels.map_batches(tag_parent_edges, batch_format="pyarrow")
@@ -803,12 +808,11 @@ def connected_components_distributed(pairs_ds, *, max_rounds: int = 20,
             .repartition(num_partitions)
             .materialize()
         )
-        # converged when total label sum stops decreasing
-        old_sum = labels.sum("label")
         new_sum = new_labels.sum("label")
         labels = new_labels
         if new_sum == old_sum:
             break
+        old_sum = new_sum
     return labels.map_batches(
         lambda t: t.rename_columns(["id", "component"]), batch_format="pyarrow"
     )
