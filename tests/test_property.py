@@ -139,3 +139,61 @@ def test_winnow_deterministic_and_bounded(texts):
         n = len(norm.encode())
         n_grams = max(n - 8 + 1, 0)
         assert (d1 == i).sum() <= n_grams
+
+
+# ---------------------------------------------------------------- incdedup
+fp_batches_strategy = st.lists(
+    st.lists(st.integers(0, 40), min_size=1, max_size=12, unique=True),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(batches=fp_batches_strategy, cap=st.sampled_from([None, 1, 4, 16]))
+def test_fingerprint_shard_matches_dict_fold(batches, cap, tmp_path_factory):
+    """FingerprintIndexShard (any memory cap, spills included) must agree
+    with a first-wins dict on arbitrary probe/insert sequences."""
+    from datax_ray.ops.incdedup import FingerprintIndexShard
+
+    spill = str(tmp_path_factory.mktemp("shard")) if cap is not None else None
+    sh = FingerprintIndexShard(rebuild_ratio=0.3, max_mem_keys=cap,
+                               spill_dir=spill)
+    ref: dict[str, int] = {}
+    next_id = 0
+    for keys in batches:
+        fps = np.array([f"{k:032x}" for k in keys], dtype=object)
+        ids = np.arange(next_id, next_id + len(keys), dtype=np.int64)
+        next_id += len(keys)
+        got = sh.check_and_insert(fps, ids)
+        want = []
+        for fp, i in zip(fps, ids):
+            want.append(ref.setdefault(fp, int(i)))
+        assert list(got) == want
+    assert sh.size() == len(ref)
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts=st.lists(st.one_of(st.none(), st.text(max_size=20)),
+                      min_size=0, max_size=30))
+def test_fast_fingerprint_hex_matches_scalar_format(texts):
+    """The vectorized nibble-lookup hex encoding must equal the scalar
+    f-string formatting of the same two siphashes, null mask included."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from datax_ray.ops.text import add_fingerprint
+
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = add_fingerprint(t)["fingerprint"].to_pylist()
+    norm = pc.replace_substring_regex(
+        pc.replace_substring_regex(pc.utf8_lower(t["text"]), r"\s+", " "),
+        r"^ | $", "")
+    arr = norm.combine_chunks()
+    vals = np.asarray(arr, dtype=object)
+    h1 = pd.util.hash_array(vals, categorize=False)
+    h2 = pd.util.hash_array(vals, hash_key="datax_ray_fp2_16",
+                            categorize=False)
+    want = [None if v is None else f"{a:016x}{b:016x}"
+            for v, a, b in zip(texts, h1, h2)]
+    assert got == want
