@@ -68,8 +68,25 @@ def kmeans_fit(ds, init_centroids: np.ndarray, *, iters: int = 2,
                 "vsum": pa.array(list(sums), pa.list_(pa.float64())),
             })
 
-        rows = ds.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True).take_all()
+        def fold(g: pa.Table) -> pa.Table:
+            # per-cluster distributed fold: the driver must see k rows,
+            # not #batches × k (at 10^5-10^6 blocks the raw partials are
+            # a driver-side materialization of GBs of vector sums)
+            col = g["vsum"].combine_chunks()
+            vs = np.asarray(col.flatten(), dtype=np.float64).reshape(
+                g.num_rows, -1)
+            return pa.table({
+                "cluster": pa.array([g["cluster"][0].as_py()], pa.int64()),
+                "cnt": pa.array([int(np.asarray(g["cnt"]).sum())],
+                                pa.int64()),
+                "vsum": pa.array([vs.sum(axis=0)], pa.list_(pa.float64())),
+            })
+
+        rows = (ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("cluster")
+                .map_groups(fold, batch_format="pyarrow")
+                .take_all())  # exactly k rows
         cnt = np.zeros(k, dtype=np.int64)
         sums = np.zeros((k, dim), dtype=np.float64)
         for r in rows:
