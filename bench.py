@@ -206,7 +206,7 @@ def run_bench() -> dict:
         # `query_stats` carries {median, reps, times, cap4} — cap4 is a
         # short fixed-concurrency busy-loop probe sampled NEXT TO each
         # query, the drift index to normalize against across rounds.
-        qreps = int(os.environ.get("BENCH_QUERY_REPS", "3"))
+        qreps = max(1, int(os.environ.get("BENCH_QUERY_REPS", "3")))
         out["query_stats"] = {}
         for name in subset:
             times = []

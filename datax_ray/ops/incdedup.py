@@ -80,6 +80,7 @@ class FingerprintIndexShard:
         #: (RocksDB-style), which only changes constants, not results.
         self._max_mem = max_mem_keys
         self._spill_dir = spill_dir
+        self._owns_dir = False
         self._runs: list[tuple[str, str, int]] = []  # (fps_path, ids_path, n)
 
     def _spill(self) -> None:
@@ -88,6 +89,7 @@ class FingerprintIndexShard:
 
         if self._spill_dir is None:
             self._spill_dir = tempfile.mkdtemp(prefix="datax_fpshard_")
+            self._owns_dir = True
         os.makedirs(self._spill_dir, exist_ok=True)
         order = np.argsort(self._fps.astype("S32"), kind="stable")
         run_fps = self._fps.astype("S32")[order]
@@ -179,6 +181,27 @@ class FingerprintIndexShard:
         return {"mem_keys": len(self._fps) + self._pend_n,
                 "spilled_keys": sum(n for _, _, n in self._runs),
                 "n_runs": len(self._runs)}
+
+    def clear_spill(self) -> int:
+        """Delete this shard's spill runs (and its auto-created temp dir).
+        ``ray.kill`` tears the actor down without running any Python, so
+        stream owners must call this first or spilled GBs outlive the job
+        — ``incremental_dedup`` does."""
+        import os
+        import shutil
+
+        n = len(self._runs)
+        for fps_path, ids_path, _ in self._runs:
+            for p in (fps_path, ids_path):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+        self._runs = []
+        if self._owns_dir and self._spill_dir:
+            shutil.rmtree(self._spill_dir, ignore_errors=True)
+            self._spill_dir, self._owns_dir = None, False
+        return n
 
 
 def start_index(num_shards: int, *, max_mem_keys: int | None = None,
@@ -280,9 +303,12 @@ def incremental_dedup(epochs, *, num_shards: int = 16,
                                fingerprint_mode=fingerprint_mode)
                     .materialize())
     # every epoch's flags are materialized blocks now — the index actors
-    # are done. Kill them explicitly: the materialized datasets' lineage
-    # keeps the fold closure (and with it the actor handles) alive, so
-    # relying on GC leaks the actors for the life of the result.
+    # are done. Reclaim spill runs FIRST (ray.kill runs no Python in the
+    # actor, so spilled bytes would outlive the job), then kill
+    # explicitly: the materialized datasets' lineage keeps the fold
+    # closure (and with it the actor handles) alive, so relying on GC
+    # leaks the actors for the life of the result.
+    ray.get([s.clear_spill.remote() for s in shards])
     for s in shards:
         ray.kill(s)
     out = outs[0]

@@ -97,6 +97,11 @@ def add_lang_id(batch: pa.Table, col: str = "text", out: str = "lang_pred") -> p
     return batch.append_column(out, best_lang.cast(pa.string()))
 
 
+#: rows above which the hex encoder switches to int64 (large_string)
+#: offsets — 32×(n+1) must fit int32 below it
+_HEX_INT32_MAX_ROWS = 1 << 26
+
+
 def add_fingerprint(batch: pa.Table, col: str = "text", out: str = "fingerprint",
                     mode: str = "fast") -> pa.Table:
     """Canonical-form document fingerprint over lowercase
@@ -132,9 +137,16 @@ def add_fingerprint(batch: pa.Table, col: str = "text", out: str = "fingerprint"
         enc = np.empty((n, 32), dtype=np.uint8)
         enc[:, 0::2] = hexdigits[raw >> 4]
         enc[:, 1::2] = hexdigits[raw & 0x0F]
-        offsets = np.arange(0, 32 * (n + 1), 32, dtype=np.int32)
-        hexes = pa.StringArray.from_buffers(
-            n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(enc.tobytes()))
+        if n < _HEX_INT32_MAX_ROWS:  # 32*(n+1) must fit int32 offsets
+            offsets = np.arange(0, 32 * (n + 1), 32, dtype=np.int32)
+            hexes = pa.StringArray.from_buffers(
+                n, pa.py_buffer(offsets.tobytes()),
+                pa.py_buffer(enc.tobytes()))
+        else:  # giant batch: int64 offsets, then down-cast (one copy)
+            offsets = np.arange(0, 32 * (n + 1), 32, dtype=np.int64)
+            hexes = pa.LargeStringArray.from_buffers(
+                n, pa.py_buffer(offsets.tobytes()),
+                pa.py_buffer(enc.tobytes())).cast(pa.string())
         col_arr = pc.if_else(
             pc.is_null(arr), pa.scalar(None, pa.string()), hexes)
         return batch.append_column(out, col_arr)

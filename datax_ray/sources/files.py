@@ -33,9 +33,12 @@ def list_files(path: str | list[str], *, path_regex: str | None = None) -> list[
     ``scheme://`` URIs (s3://, memory://, gs://, …) route through fsspec —
     the remote-FS passthrough standing in for the reference's ftp/oss
     readers (ftpreader/, ossreader/: network services, out of scope as
-    live plugins; any filesystem Arrow/fsspec can mount works here).
-    Returned entries keep their scheme so downstream opens route the same
-    way (Ray Data natives accept fsspec URIs directly)."""
+    live plugins). Any filesystem whose state is visible to Ray WORKER
+    processes works for distributed reads (s3/gs/http/file); a
+    process-LOCAL filesystem like ``memory://`` works for listing and
+    driver-side ``open_input`` but its contents do not exist in worker
+    processes, so Dataset reads over it will miss. Returned entries keep
+    their scheme so downstream opens route the same way."""
     if isinstance(path, list):
         out = []
         for p in path:
@@ -77,6 +80,13 @@ def _ray_fs_paths(files: list[str]):
     through with filesystem=None."""
     if not files or not any("://" in f for f in files):
         return None, files
+    schemes = {f.split("://", 1)[0] if "://" in f else "<local>"
+               for f in files}
+    if len(schemes) > 1:
+        # one filesystem serves the whole read; a path stripped of the
+        # WRONG scheme would silently resolve against another filesystem
+        raise ValueError(
+            f"mixed filesystem schemes in one read: {sorted(schemes)}")
     import fsspec
     from pyarrow.fs import FSSpecHandler, PyFileSystem
 

@@ -202,3 +202,18 @@ def test_fixture_signatures_match_reference(tmp_path):
     assert np.array_equal(got, ref)
     sh = pq.read_table(f"{out}/simhash.parquet")
     assert np.array_equal(np.asarray(sh["simhash"]), _simhash_ref(docs))
+
+
+def test_fingerprint_large_offsets_branch(monkeypatch):
+    """Batches past the int32-offset capacity take the int64
+    (large_string) path and produce identical fingerprints."""
+    import pyarrow as pa
+
+    from datax_ray.ops import text as T
+
+    t = pa.table({"text": pa.array(
+        [f"doc {i}" for i in range(100)] + [None], pa.string())})
+    small = T.add_fingerprint(t)["fingerprint"].to_pylist()
+    monkeypatch.setattr(T, "_HEX_INT32_MAX_ROWS", 10)
+    large = T.add_fingerprint(t)["fingerprint"].to_pylist()
+    assert small == large
