@@ -1059,6 +1059,55 @@ class TestTailMode:
                          poll_interval=0.01, idle_polls=3)
         assert res.replays == 0 and res.polls == 3
 
+    def test_resumed_tail_counts_only_its_own_dead_letters(self, tmp_path):
+        """Dirty attribution across tail restarts: a resumed tail's
+        dead_lettered must cover the ranges IT executed, not
+        [0, last_lsn) — epochs committed by the earlier run are excluded
+        (regression on the TailResult.executed_ranges contract)."""
+        from datax_ray.cli import run_job
+        from datax_ray.sources.generators import (
+            ChangelogSpec,
+            generate_changelog_block,
+        )
+
+        spec = ChangelogSpec(n_events=2000, n_convs=40, max_turns=8,
+                             n_blocks=1, seed=37)
+        t = generate_changelog_block(spec, 0).sort_by([("lsn", "ascending")])
+        op = t["op"].to_pylist()
+        for i in range(0, 50, 10):      # 5 bad events in [0, 1000)
+            op[i] = "X"
+        for i in range(1000, 1070, 10):  # 7 bad events in [1000, 2000)
+            op[i] = "X"
+        t = t.set_column(t.schema.get_field_index("op"), "op",
+                         pa.array(op, pa.string()))
+        live = tmp_path / "live"
+        live.mkdir()
+        dl = str(tmp_path / "dead")
+
+        def job():
+            return {"job": {
+                "content": {
+                    "reader": {"name": "changelog", "parameter": {
+                        "path": str(live), "epochSize": 500,
+                        "tail": {"pollInterval": 0.05, "idlePolls": 1}}},
+                    "writer": {"name": "lake_upsert", "parameter": {
+                        "path": str(tmp_path / "lake"),
+                        "numPartitions": 4}},
+                },
+                "setting": {"deadLetterDir": dl,
+                            "errorLimit": {"record": 100}},
+            }}
+
+        pq.write_table(t.slice(0, 1000), str(live / "chunk-0.parquet"))
+        rep1 = run_job(job())
+        assert rep1["ok"] and rep1["result"]["dead_lettered"] == 5
+        pq.write_table(t.slice(1000, 1000), str(live / "chunk-1.parquet"))
+        rep2 = run_job(job())
+        assert rep2["ok"]
+        # pre-fix this counted 12 (the whole [0, 2000) range)
+        assert rep2["result"]["dead_lettered"] == 7
+        assert rep2["counters"]["dirty"] == 7
+
 
 class TestScd2History:
     """SCD Type-2 validity intervals from a change stream, pinned against
@@ -1367,6 +1416,20 @@ class TestProfileColumns:
         assert out.loc[0, "n_nulls"] == 2
         assert pd.isna(out.loc[0, "min_value"])
 
+    def test_float_scientific_and_inf_partials(self, ray_session):
+        """Float partials whose str() is scientific notation or inf must
+        refold by column type (regression: int('1e-05') crashed)."""
+        import ray.data as rd
+
+        from datax_ray.ops.profile import profile_columns
+
+        t = pa.table({"f": pa.array(
+            [1e-05, float("inf"), 3.5, -2e30], pa.float64())})
+        out = (profile_columns(rd.from_arrow(t).repartition(4), ["f"])
+               .to_pandas().set_index("column"))
+        assert out.loc["f", "min_value"] == "-2e+30"
+        assert out.loc["f", "max_value"] == "inf"
+
 
 class TestKmeans:
     """Distributed Lloyd iterations (ops/clustering.py) vs an in-memory
@@ -1589,6 +1652,23 @@ class TestLookupTransform:
         out = lk.apply(batch)
         assert out["seg"].to_pylist() == ["c", None, "a"]
         assert out["k"].to_pylist() == [3, 99, 1]  # order preserved
+
+    def test_inline_table_cache_evicted_on_gc(self):
+        """The probe cache keys inline tables by id(); the weakref
+        finalizer must evict the entry when the table dies so a recycled
+        id can never hit a stale index (regression)."""
+        import gc
+
+        from datax_ray.transforms import lookup as L
+
+        dim = self._dim()
+        lk = L.Lookup(dim, key="k", dim_key="id")
+        lk.apply(pa.table({"k": pa.array([1], pa.int64())}))
+        key = (id(dim), "id", ())
+        assert key in L._PROBE_CACHE
+        del lk, dim
+        gc.collect()
+        assert key not in L._PROBE_CACHE
 
     def test_required_routes_dirty(self, tmp_path):
         from datax_ray.transforms import TransformChain
