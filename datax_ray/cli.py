@@ -71,6 +71,7 @@ def _build_reader(name: str, p: dict[str, Any]):
             null_format=p.get("nullFormat", "\\N"),
             skip_header=p.get("skipHeader", False),
             dead_letter_dir=p.get("deadLetterDir"),
+            compress=p.get("compress"),
         )
     if name == "stream":
         from datax_ray.sources.stream import stream_dataset

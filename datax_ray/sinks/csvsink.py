@@ -69,7 +69,8 @@ class CsvBlockWriter:
         null_format: str = DEFAULT_NULL_FORMAT,
         header: bool = False,
         date_format: str = "%Y-%m-%d %H:%M:%S",
-        compress: str | None = None,  # None | 'gzip' | 'bzip2'
+        # None | gzip | bzip2 | zstd | lz4 | framing-snappy | hadoop-snappy
+        compress: str | None = None,
     ):
         self.path = path
         self.prefix = prefix
@@ -111,7 +112,10 @@ class CsvBlockWriter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         data = self._serialize(batch)
-        ext = {"gzip": ".csv.gz", "bzip2": ".csv.bz2"}.get(self.compress, ".csv")
+        ext = {"gzip": ".csv.gz", "bzip2": ".csv.bz2",
+               "zstd": ".csv.zst", "lz4": ".csv.lz4",
+               "framing-snappy": ".csv.snappy",
+               "hadoop-snappy": ".csv.snappy"}.get(self.compress, ".csv")
         name = f"{self.prefix}__{uuid.uuid4().hex}{ext}"
         tmp = os.path.join(self.path, f".tmp.{name}")
         final = os.path.join(self.path, name)
@@ -123,6 +127,17 @@ class CsvBlockWriter:
 
             with bz2.open(tmp, "wb") as f:
                 f.write(data)
+        elif self.compress in ("zstd", "lz4"):
+            with pa.CompressedOutputStream(tmp, self.compress) as f:
+                f.write(data)
+        elif self.compress in ("framing-snappy", "hadoop-snappy"):
+            from datax_ray.sources import snappy_codec as sc
+
+            enc = (sc.encode_framing_snappy
+                   if self.compress == "framing-snappy"
+                   else sc.encode_hadoop_snappy)
+            with open(tmp, "wb") as f:
+                f.write(enc(data))
         else:
             with open(tmp, "wb") as f:
                 f.write(data)

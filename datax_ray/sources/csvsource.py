@@ -180,7 +180,8 @@ def _cast_typed(raw: pa.Array, ce: ColumnEntry) -> tuple[pa.Array, np.ndarray]:
     raise ValueError(f"unsupported column type: {t}")
 
 
-def _peek_first_line(path: str, delim: str) -> tuple[int, list[str]]:
+def _peek_first_line(path: str, delim: str,
+                     compress: str | None = None) -> tuple[int, list[str]]:
     """Column count + (possible) header names from the first line; naive
     split is fine for counting (quoted delimiters are rare in headers)."""
     import bz2
@@ -196,6 +197,18 @@ def _peek_first_line(path: str, delim: str) -> tuple[int, list[str]]:
                 raise ValueError(f"zip archive has no file members: {path}")
             f = io.TextIOWrapper(zf.open(members[0]))
             line = f.readline().rstrip("\r\n")
+    elif _snappy_variant(path, compress):
+        from datax_ray.sources.snappy_codec import decode_snappy_auto
+
+        with open(path, "rb") as f:
+            text = decode_snappy_auto(f.read())
+        line = text.split(b"\n", 1)[0].decode().rstrip("\r")
+    elif path.endswith((".zst", ".lz4")):
+        import pyarrow as _pa
+
+        codec = "zstd" if path.endswith(".zst") else "lz4"
+        with _pa.CompressedInputStream(_pa.OSFile(path), codec) as f:
+            line = f.read().split(b"\n", 1)[0].decode().rstrip("\r")
     else:
         opener = (gzip.open if path.endswith(".gz")
                   else bz2.open if path.endswith(".bz2") else open)
@@ -203,6 +216,19 @@ def _peek_first_line(path: str, delim: str) -> tuple[int, list[str]]:
             line = f.readline().rstrip("\r\n")
     fields = line.split(delim)
     return len(fields), fields
+
+
+def _snappy_variant(path: str, compress: str | None) -> str | None:
+    """The snappy framing to decode this path with, or None. Explicit
+    ``compress`` names win (UnstructuredStorageReaderUtil.java:144-154
+    makes the user name the variant); ``.snappy`` extensions fall back
+    to structural auto-detection."""
+    if compress and compress.lower() in ("hadoop-snappy", "framing-snappy",
+                                         "snappy"):
+        return compress.lower()
+    if str(path).endswith(".snappy"):
+        return "auto"
+    return None
 
 
 def read_csv(
@@ -214,13 +240,17 @@ def read_csv(
     skip_header: bool = False,
     dead_letter_dir: str | None = None,
     override_num_blocks: int | None = None,
+    compress: str | None = None,
 ):
     """DataX-style CSV read → Dataset with typed schema.
 
-    Compression: gzip and bzip2 handled natively by Arrow based on file
-    extension (UnstructuredStorageReaderUtil.java:88-237 supports
-    gzip/bzip2/zip; the reference's exotic codecs — lzo, rc — are out of
-    scope, zip is an archive not a stream codec).
+    Compression (UnstructuredStorageReaderUtil.java:88-237, codec
+    dispatch :124-154): gzip / bzip2 / zstd / lz4 handled natively by
+    Arrow based on file extension; zip archives expand per-task;
+    ``hadoop-snappy`` / ``framing-snappy`` decode per-file via
+    sources/snappy_codec (pass ``compress=`` to name the variant, or
+    rely on ``.snappy`` auto-detection). The reference's lzo /
+    lzo_deflate stay out of scope (no LZO library in the sandbox).
     """
     from pyarrow import csv as pacsv
     import ray.data as rd
@@ -238,7 +268,7 @@ def read_csv(
     if os.path.isdir(first):
         names = sorted(os.listdir(first))
         first = os.path.join(first, names[0]) if names else first
-    ncols, header = _peek_first_line(first, field_delimiter)
+    ncols, header = _peek_first_line(first, field_delimiter, compress)
     col_names = header if skip_header else [f"f{i}" for i in range(ncols)]
     conv_opts = pacsv.ConvertOptions(
         strings_can_be_null=False,
@@ -281,6 +311,44 @@ def read_csv(
         ds = rd.read_binary_files(path_list).map_batches(
             parse_zip, batch_format="pyarrow"
         )
+    elif any(_snappy_variant(str(p), compress) for p in path_list):
+        # snappy is framed per FILE (no Arrow stream codec, and Ray's
+        # binary reader wants python-snappy for .snappy paths): ship the
+        # PATHS as items, open + decode the framing once per file inside
+        # the task, parse as one CSV stream — same shape as the zip path
+        if not all(_snappy_variant(str(p), compress) for p in path_list):
+            raise ValueError("cannot mix snappy-compressed and plain CSV paths")
+        variant = _snappy_variant(str(path_list[0]), compress)
+
+        def parse_snappy(t: pa.Table) -> pa.Table:
+            import io
+
+            from datax_ray.sources import snappy_codec as sc
+            from datax_ray.sources.files import open_input
+
+            decode = {"hadoop-snappy": sc.decode_hadoop_snappy,
+                      "framing-snappy": sc.decode_framing_snappy,
+                      }.get(variant, sc.decode_snappy_auto)
+            tabs = []
+            for path in t["path"].to_pylist():
+                with open_input(path) as f:
+                    text = decode(f.read())
+                if text:  # wholly-empty file → no rows
+                    tabs.append(pacsv.read_csv(
+                        io.BytesIO(text),
+                        read_options=read_opts,
+                        parse_options=parse_opts,
+                        convert_options=conv_opts,
+                    ))
+            if not tabs:
+                return pa.schema(
+                    [(c, pa.string()) for c in col_names]
+                ).empty_table()
+            return pa.concat_tables(tabs)
+
+        ds = rd.from_items(
+            [{"path": str(p)} for p in path_list]
+        ).map_batches(parse_snappy, batch_format="pyarrow", batch_size=1)
     else:
         ds = rd.read_csv(
             paths,

@@ -156,3 +156,78 @@ class TestReadWrite:
         assert got["text"].to_pylist() == src.sort_by(
             [("conv_id", "ascending"), ("turn_idx", "ascending")]
         )["text"].to_pylist()
+
+
+class TestCodecs:
+    """Snappy framings (UnstructuredStorageReaderUtil.java:144-154:
+    hadoop-snappy / framing-snappy) + modern zstd/lz4, read and write."""
+
+    BODY = "\n".join(f"{i},name{i},{i}.5,true,2024-01-02 03:04:0{i % 10}"
+                     for i in range(200))
+
+    COLS = [
+        {"index": 0, "type": "long", "name": "id"},
+        {"index": 1, "type": "string", "name": "who"},
+    ]
+
+    def test_snappy_framings_pure(self):
+        from datax_ray.sources import snappy_codec as sc
+
+        data = self.BODY.encode() * 7  # > one 64 KiB framed chunk
+        for enc, dec in ((sc.encode_framing_snappy, sc.decode_framing_snappy),
+                         (sc.encode_hadoop_snappy, sc.decode_hadoop_snappy)):
+            blob = enc(data)
+            assert dec(blob) == data
+            assert sc.decode_snappy_auto(blob) == data
+        assert sc.decode_framing_snappy(
+            sc.encode_framing_snappy(b"")) == b""
+        assert sc.decode_hadoop_snappy(sc.encode_hadoop_snappy(b"")) == b""
+        # known-answer CRC32C vector (RFC 3720 test pattern)
+        assert sc.crc32c(b"123456789") == 0xE3069283
+        # a flipped CRC byte must be detected
+        blob = bytearray(sc.encode_framing_snappy(b"x" * 1000))
+        blob[15] ^= 0x01
+        with pytest.raises(ValueError):
+            sc.decode_framing_snappy(bytes(blob))
+
+    @pytest.mark.parametrize("compress", ["framing-snappy", "hadoop-snappy"])
+    def test_snappy_read_named_variant(self, tmp_path, compress, ray_session):
+        from datax_ray.sources import snappy_codec as sc
+
+        enc = (sc.encode_framing_snappy if compress == "framing-snappy"
+               else sc.encode_hadoop_snappy)
+        p = str(tmp_path / "t.csv.snappy")
+        with open(p, "wb") as f:
+            f.write(enc(self.BODY.encode()))
+        ds = read_csv(p, columns=self.COLS, compress=compress)
+        df = ds.to_pandas().sort_values("id").reset_index(drop=True)
+        assert len(df) == 200 and df["who"][7] == "name7"
+
+    @pytest.mark.parametrize("compress", ["zstd", "lz4", "framing-snappy",
+                                          "hadoop-snappy"])
+    def test_write_read_roundtrip(self, tmp_path, compress, ray_session):
+        import ray.data as rd
+
+        src = pa.table({"id": list(range(50)),
+                        "who": [f"u{i}" for i in range(50)]})
+        out = str(tmp_path / "out")
+        report = write_csv(rd.from_arrow(src), out, write_mode="truncate",
+                           compress=compress)
+        files = list_output_files(out)
+        assert files and all(
+            f.endswith((".zst", ".lz4", ".snappy")) for f in files)
+        back = read_csv(files, columns=[
+            {"index": 0, "type": "long", "name": "id"},
+            {"index": 1, "type": "string", "name": "who"},
+        ]).to_pandas().sort_values("id").reset_index(drop=True)
+        assert back["id"].tolist() == list(range(50))
+        assert back["who"].tolist() == [f"u{i}" for i in range(50)]
+
+    def test_mixed_snappy_plain_rejected(self, tmp_path):
+        plain = str(tmp_path / "a.csv")
+        snap = str(tmp_path / "b.csv.snappy")
+        for p in (plain, snap):
+            with open(p, "wb") as f:
+                f.write(b"1,x\n")
+        with pytest.raises(ValueError, match="cannot mix"):
+            read_csv([plain, snap], columns=self.COLS)
