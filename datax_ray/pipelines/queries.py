@@ -303,6 +303,29 @@ def q_csv_roundtrip(sf_dir: str):
     )
 
 
+def q_csv_snappy_roundtrip(sf_dir: str):
+    """reader→writer round-trip through snappy-framed CSV
+    (UnstructuredStorageReaderUtil.java:144-154 hadoop-snappy /
+    framing-snappy dispatch): write framing-snappy, read back via
+    ``.snappy`` auto-detection."""
+    from datax_ray.sinks.csvsink import list_output_files, write_csv
+    from datax_ray.sources.csvsource import read_csv
+
+    out = ("/tmp/datax_ray_q/csv_snappy_roundtrip_"
+           f"{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"])
+    write_csv(ds, out, write_mode="truncate", compress="framing-snappy")
+    return read_csv(
+        list_output_files(out),
+        columns=[
+            {"index": 0, "type": "long", "name": "s_suppkey"},
+            {"index": 1, "type": "string", "name": "s_name"},
+            {"index": 2, "type": "long", "name": "s_nationkey"},
+        ],
+    )
+
+
 def q_querysql_read(sf_dir: str):
     """querySql-mode reader (ReaderSplitUtil.java:92-102 analogue): the
     user supplies raw SQL slices as the split contract — two DuckDB
@@ -1765,6 +1788,10 @@ LEFT JOIN won tl ON tl.conv_id = a.conv_id AND tl.turn_idx = a.turn_idx
         "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
         "l_returnflag, l_shipdate FROM lineitem"
     ),
+    "csv_snappy_roundtrip": (
+        "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, "
+        "CAST(s_nationkey AS BIGINT) AS s_nationkey FROM supplier"
+    ),
     "querysql_read": """
 SELECT o_orderpriority, count(*) AS n,
   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
@@ -2522,4 +2549,5 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_exact": q_dedup_exact,
+    "csv_snappy_roundtrip": q_csv_snappy_roundtrip,
 }
