@@ -69,7 +69,8 @@ class CsvBlockWriter:
         null_format: str = DEFAULT_NULL_FORMAT,
         header: bool = False,
         date_format: str = "%Y-%m-%d %H:%M:%S",
-        # None | gzip | bzip2 | zstd | lz4 | framing-snappy | hadoop-snappy
+        # None | gzip | bzip2 | zstd | lz4 | framing-snappy |
+        # hadoop-snappy | lzo (lzop container) | lzo_deflate
         compress: str | None = None,
     ):
         self.path = path
@@ -115,7 +116,9 @@ class CsvBlockWriter:
         ext = {"gzip": ".csv.gz", "bzip2": ".csv.bz2",
                "zstd": ".csv.zst", "lz4": ".csv.lz4",
                "framing-snappy": ".csv.snappy",
-               "hadoop-snappy": ".csv.snappy"}.get(self.compress, ".csv")
+               "hadoop-snappy": ".csv.snappy",
+               "lzo": ".csv.lzo",
+               "lzo_deflate": ".csv.lzo_deflate"}.get(self.compress, ".csv")
         name = f"{self.prefix}__{uuid.uuid4().hex}{ext}"
         tmp = os.path.join(self.path, f".tmp.{name}")
         final = os.path.join(self.path, name)
@@ -130,12 +133,15 @@ class CsvBlockWriter:
         elif self.compress in ("zstd", "lz4"):
             with pa.CompressedOutputStream(tmp, self.compress) as f:
                 f.write(data)
-        elif self.compress in ("framing-snappy", "hadoop-snappy"):
+        elif self.compress in ("framing-snappy", "hadoop-snappy",
+                               "lzo", "lzo_deflate"):
+            from datax_ray.sources import lzo_codec as lc
             from datax_ray.sources import snappy_codec as sc
 
-            enc = (sc.encode_framing_snappy
-                   if self.compress == "framing-snappy"
-                   else sc.encode_hadoop_snappy)
+            enc = {"framing-snappy": sc.encode_framing_snappy,
+                   "hadoop-snappy": sc.encode_hadoop_snappy,
+                   "lzo": lc.encode_lzop,
+                   "lzo_deflate": lc.encode_lzo_block_stream}[self.compress]
             with open(tmp, "wb") as f:
                 f.write(enc(data))
         else:

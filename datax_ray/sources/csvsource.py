@@ -197,11 +197,9 @@ def _peek_first_line(path: str, delim: str,
                 raise ValueError(f"zip archive has no file members: {path}")
             f = io.TextIOWrapper(zf.open(members[0]))
             line = f.readline().rstrip("\r\n")
-    elif _snappy_variant(path, compress):
-        from datax_ray.sources.snappy_codec import decode_snappy_auto
-
+    elif _framed_variant(path, compress):
         with open(path, "rb") as f:
-            text = decode_snappy_auto(f.read())
+            text = _FRAMED_DECODERS[_framed_variant(path, compress)](f.read())
         line = text.split(b"\n", 1)[0].decode().rstrip("\r")
     elif path.endswith((".zst", ".lz4")):
         import pyarrow as _pa
@@ -218,16 +216,46 @@ def _peek_first_line(path: str, delim: str,
     return len(fields), fields
 
 
-def _snappy_variant(path: str, compress: str | None) -> str | None:
-    """The snappy framing to decode this path with, or None. Explicit
-    ``compress`` names win (UnstructuredStorageReaderUtil.java:144-154
-    makes the user name the variant); ``.snappy`` extensions fall back
-    to structural auto-detection."""
+def _lazy_framed_decoders() -> dict:
+    from datax_ray.sources import lzo_codec as lc
+    from datax_ray.sources import snappy_codec as sc
+
+    return {
+        "hadoop-snappy": sc.decode_hadoop_snappy,
+        "framing-snappy": sc.decode_framing_snappy,
+        "snappy": sc.decode_snappy_auto,
+        "auto": sc.decode_snappy_auto,
+        "lzo": lc.decode_lzop,
+        "lzo_deflate": lc.decode_lzo_block_stream,
+    }
+
+
+class _FramedDecoders:
+    """Dict-like view over the per-FILE framed codecs, imported lazily."""
+
+    def __getitem__(self, name: str):
+        return _lazy_framed_decoders()[name]
+
+
+_FRAMED_DECODERS = _FramedDecoders()
+
+
+def _framed_variant(path: str, compress: str | None) -> str | None:
+    """The per-file framed codec to decode this path with, or None (i.e.
+    an Arrow-streamable codec or plain text). Explicit ``compress`` names
+    win (UnstructuredStorageReaderUtil.java:124-154 makes the user name
+    the variant: lzo / lzo_deflate / hadoop-snappy / framing-snappy);
+    ``.snappy`` extensions fall back to structural auto-detection."""
     if compress and compress.lower() in ("hadoop-snappy", "framing-snappy",
-                                         "snappy"):
+                                         "snappy", "lzo", "lzo_deflate"):
         return compress.lower()
-    if str(path).endswith(".snappy"):
+    p = str(path)
+    if p.endswith(".snappy"):
         return "auto"
+    if p.endswith(".lzo"):
+        return "lzo"
+    if p.endswith(".lzo_deflate"):
+        return "lzo_deflate"
     return None
 
 
@@ -247,10 +275,11 @@ def read_csv(
     Compression (UnstructuredStorageReaderUtil.java:88-237, codec
     dispatch :124-154): gzip / bzip2 / zstd / lz4 handled natively by
     Arrow based on file extension; zip archives expand per-task;
-    ``hadoop-snappy`` / ``framing-snappy`` decode per-file via
-    sources/snappy_codec (pass ``compress=`` to name the variant, or
-    rely on ``.snappy`` auto-detection). The reference's lzo /
-    lzo_deflate stay out of scope (no LZO library in the sandbox).
+    ``hadoop-snappy`` / ``framing-snappy`` (sources/snappy_codec) and
+    ``lzo`` (lzop container) / ``lzo_deflate`` (block stream;
+    sources/lzo_codec) decode per-file — pass ``compress=`` to name
+    the variant, or rely on extension detection (.snappy/.lzo/
+    .lzo_deflate).
     """
     from pyarrow import csv as pacsv
     import ray.data as rd
@@ -311,24 +340,22 @@ def read_csv(
         ds = rd.read_binary_files(path_list).map_batches(
             parse_zip, batch_format="pyarrow"
         )
-    elif any(_snappy_variant(str(p), compress) for p in path_list):
-        # snappy is framed per FILE (no Arrow stream codec, and Ray's
-        # binary reader wants python-snappy for .snappy paths): ship the
-        # PATHS as items, open + decode the framing once per file inside
-        # the task, parse as one CSV stream — same shape as the zip path
-        if not all(_snappy_variant(str(p), compress) for p in path_list):
-            raise ValueError("cannot mix snappy-compressed and plain CSV paths")
-        variant = _snappy_variant(str(path_list[0]), compress)
+    elif any(_framed_variant(str(p), compress) for p in path_list):
+        # snappy/lzo are framed per FILE (no Arrow stream codec, and
+        # Ray's binary reader wants python-snappy for .snappy paths):
+        # ship the PATHS as items, open + decode the framing once per
+        # file inside the task, parse as one CSV stream — zip-path shape
+        if not all(_framed_variant(str(p), compress) for p in path_list):
+            raise ValueError(
+                "cannot mix snappy/lzo-compressed and plain CSV paths")
+        variant = _framed_variant(str(path_list[0]), compress)
 
         def parse_snappy(t: pa.Table) -> pa.Table:
             import io
 
-            from datax_ray.sources import snappy_codec as sc
             from datax_ray.sources.files import open_input
 
-            decode = {"hadoop-snappy": sc.decode_hadoop_snappy,
-                      "framing-snappy": sc.decode_framing_snappy,
-                      }.get(variant, sc.decode_snappy_auto)
+            decode = _FRAMED_DECODERS[variant]
             tabs = []
             for path in t["path"].to_pylist():
                 with open_input(path) as f:
