@@ -326,6 +326,27 @@ def q_csv_snappy_roundtrip(sf_dir: str):
     )
 
 
+def q_csv_lzo_roundtrip(sf_dir: str):
+    """reader→writer round-trip through the lzop container
+    (UnstructuredStorageReaderUtil.java:124-133 ``lzo`` dispatch):
+    write .lzo, read back via extension detection."""
+    from datax_ray.sinks.csvsink import list_output_files, write_csv
+    from datax_ray.sources.csvsource import read_csv
+
+    out = ("/tmp/datax_ray_q/csv_lzo_roundtrip_"
+           f"{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    write_csv(ds, out, write_mode="truncate", compress="lzo")
+    return read_csv(
+        list_output_files(out),
+        columns=[
+            {"index": 0, "type": "long", "name": "n_nationkey"},
+            {"index": 1, "type": "string", "name": "n_name"},
+        ],
+    )
+
+
 def q_querysql_read(sf_dir: str):
     """querySql-mode reader (ReaderSplitUtil.java:92-102 analogue): the
     user supplies raw SQL slices as the split contract — two DuckDB
@@ -1792,6 +1813,10 @@ LEFT JOIN won tl ON tl.conv_id = a.conv_id AND tl.turn_idx = a.turn_idx
         "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, "
         "CAST(s_nationkey AS BIGINT) AS s_nationkey FROM supplier"
     ),
+    "csv_lzo_roundtrip": (
+        "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name "
+        "FROM nation"
+    ),
     "querysql_read": """
 SELECT o_orderpriority, count(*) AS n,
   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
@@ -2550,4 +2575,5 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_exact": q_dedup_exact,
     "csv_snappy_roundtrip": q_csv_snappy_roundtrip,
+    "csv_lzo_roundtrip": q_csv_lzo_roundtrip,
 }
