@@ -284,6 +284,16 @@ def read_csv(
     from pyarrow import csv as pacsv
     import ray.data as rd
 
+    from datax_ray.sources.files import list_files
+
+    # TxtFileReader.java path semantics: each entry may be a concrete file,
+    # a directory, or a glob (`/data/*.csv`); expand up front so peek,
+    # codec dispatch and Ray's reader all see concrete files.
+    expanded = list_files(paths)
+    if not expanded:
+        raise FileNotFoundError(f"txtfilereader path matched no files: {paths}")
+    paths = expanded
+
     entries = None
     if columns is not None:
         entries = [c if isinstance(c, ColumnEntry) else ColumnEntry(**c) for c in columns]

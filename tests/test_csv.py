@@ -88,6 +88,20 @@ class TestReadWrite:
         assert list(df.columns) == ["id", "who"]
         assert df["who"].tolist()[1] is None
 
+    def test_read_csv_glob_and_dir(self, tmp_path):
+        # TxtFileReader.java path entries may be globs or directories
+        for i in range(3):
+            (tmp_path / f"part{i}.csv").write_text(f"{i},row{i}\n")
+        (tmp_path / "other.txt").write_text("9,nope\n")
+        df = read_csv(str(tmp_path / "*.csv")).to_pandas()
+        assert sorted(df["f0"].tolist()) == ["0", "1", "2"]
+        d = tmp_path / "sub"
+        d.mkdir()
+        (d / "a.csv").write_text("7,seven\n")
+        assert read_csv(str(d)).to_pandas()["f1"].tolist() == ["seven"]
+        with pytest.raises(FileNotFoundError):
+            read_csv(str(tmp_path / "nope-*.csv"))
+
     def test_roundtrip_with_quoting_and_newlines(self, tmp_path):
         import ray.data as rd
 
