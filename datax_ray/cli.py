@@ -72,6 +72,7 @@ def _build_reader(name: str, p: dict[str, Any]):
             skip_header=p.get("skipHeader", False),
             dead_letter_dir=p.get("deadLetterDir"),
             compress=p.get("compress"),
+            encoding=p.get("encoding", "utf-8"),
         )
     if name == "stream":
         from datax_ray.sources.stream import stream_dataset
@@ -156,6 +157,7 @@ def _run_writer(name: str, p: dict[str, Any], ds, resume: bool) -> dict[str, Any
             null_format=p.get("nullFormat", "\\N"),
             header=p.get("header", False),
             compress=p.get("compress"),
+            encoding=p.get("encoding", "utf-8"),
         )
         return {"rows": sum(r["rows"] for r in report), "files": len(report)}
     if name == "json":

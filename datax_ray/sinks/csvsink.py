@@ -72,6 +72,7 @@ class CsvBlockWriter:
         # None | gzip | bzip2 | zstd | lz4 | framing-snappy |
         # hadoop-snappy | lzo (lzop container) | lzo_deflate
         compress: str | None = None,
+        encoding: str = "utf-8",
     ):
         self.path = path
         self.prefix = prefix
@@ -80,6 +81,7 @@ class CsvBlockWriter:
         self.header = header
         self.date_format = date_format
         self.compress = compress
+        self.encoding = encoding
 
     def _serialize(self, batch: pa.Table) -> bytes:
         # stringify every column with the reference conventions: dates via
@@ -109,7 +111,12 @@ class CsvBlockWriter:
                 include_header=self.header, delimiter=self.delim
             ),
         )
-        return buf.getvalue()
+        data = buf.getvalue()
+        if self.encoding.lower().replace("-", "") not in ("utf8", "ascii"):
+            # txtfilewriter encoding (reference Key.ENCODING): one C-level
+            # transcode per serialized batch, applied before compression
+            data = data.decode("utf-8").encode(self.encoding)
+        return data
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         data = self._serialize(batch)
@@ -161,6 +168,7 @@ def write_csv(
     null_format: str = DEFAULT_NULL_FORMAT,
     header: bool = False,
     compress: str | None = None,
+    encoding: str = "utf-8",
 ) -> list[dict]:
     """Consume a Dataset into a directory of CSV part files; returns the
     per-file write report."""
@@ -172,6 +180,7 @@ def write_csv(
         null_format=null_format,
         header=header,
         compress=compress,
+        encoding=encoding,
     )
     return ds.map_batches(writer, batch_format="pyarrow").take_all()
 

@@ -181,7 +181,8 @@ def _cast_typed(raw: pa.Array, ce: ColumnEntry) -> tuple[pa.Array, np.ndarray]:
 
 
 def _peek_first_line(path: str, delim: str,
-                     compress: str | None = None) -> tuple[int, list[str]]:
+                     compress: str | None = None,
+                     encoding: str = "utf-8") -> tuple[int, list[str]]:
     """Column count + (possible) header names from the first line; naive
     split is fine for counting (quoted delimiters are rare in headers)."""
     import bz2
@@ -195,22 +196,22 @@ def _peek_first_line(path: str, delim: str,
             members = [n for n in zf.namelist() if not n.endswith("/")]
             if not members:
                 raise ValueError(f"zip archive has no file members: {path}")
-            f = io.TextIOWrapper(zf.open(members[0]))
+            f = io.TextIOWrapper(zf.open(members[0]), encoding=encoding)
             line = f.readline().rstrip("\r\n")
     elif _framed_variant(path, compress):
         with open(path, "rb") as f:
             text = _FRAMED_DECODERS[_framed_variant(path, compress)](f.read())
-        line = text.split(b"\n", 1)[0].decode().rstrip("\r")
+        line = text.split(b"\n", 1)[0].decode(encoding).rstrip("\r")
     elif path.endswith((".zst", ".lz4")):
         import pyarrow as _pa
 
         codec = "zstd" if path.endswith(".zst") else "lz4"
         with _pa.CompressedInputStream(_pa.OSFile(path), codec) as f:
-            line = f.read().split(b"\n", 1)[0].decode().rstrip("\r")
+            line = f.read().split(b"\n", 1)[0].decode(encoding).rstrip("\r")
     else:
         opener = (gzip.open if path.endswith(".gz")
                   else bz2.open if path.endswith(".bz2") else open)
-        with opener(path, "rt") as f:
+        with opener(path, "rt", encoding=encoding) as f:
             line = f.readline().rstrip("\r\n")
     fields = line.split(delim)
     return len(fields), fields
@@ -269,6 +270,7 @@ def read_csv(
     dead_letter_dir: str | None = None,
     override_num_blocks: int | None = None,
     compress: str | None = None,
+    encoding: str = "utf-8",
 ):
     """DataX-style CSV read → Dataset with typed schema.
 
@@ -298,7 +300,11 @@ def read_csv(
     if columns is not None:
         entries = [c if isinstance(c, ColumnEntry) else ColumnEntry(**c) for c in columns]
 
-    read_opts = pacsv.ReadOptions(autogenerate_column_names=not skip_header)
+    # encoding (UnstructuredStorageReaderUtil.java:95-100, default utf-8;
+    # GBK is the common non-default for this reader's users): Arrow
+    # transcodes inside the read, so the hot path stays zero-copy utf-8
+    read_opts = pacsv.ReadOptions(autogenerate_column_names=not skip_header,
+                                  encoding=encoding)
     parse_opts = pacsv.ParseOptions(delimiter=field_delimiter)
     # read EVERYTHING as string; typing is our projection's job (so we can
     # route cast failures per-row instead of failing the read). Arrow needs
@@ -307,7 +313,7 @@ def read_csv(
     if os.path.isdir(first):
         names = sorted(os.listdir(first))
         first = os.path.join(first, names[0]) if names else first
-    ncols, header = _peek_first_line(first, field_delimiter, compress)
+    ncols, header = _peek_first_line(first, field_delimiter, compress, encoding)
     col_names = header if skip_header else [f"f{i}" for i in range(ncols)]
     conv_opts = pacsv.ConvertOptions(
         strings_can_be_null=False,

@@ -88,6 +88,27 @@ class TestReadWrite:
         assert list(df.columns) == ["id", "who"]
         assert df["who"].tolist()[1] is None
 
+    def test_encoding_gbk_roundtrip(self, tmp_path, ray_session):
+        # encoding per UnstructuredStorageReaderUtil.java:95-100 (GBK is
+        # the common non-default); write GBK, verify raw bytes, read back
+        import ray.data as rd
+
+        src = pa.table({"id": [1, 2], "who": ["中文测试", "编码"]})
+        out = str(tmp_path / "out")
+        write_csv(rd.from_arrow(src), out, write_mode="truncate",
+                  encoding="gbk")
+        files = list_output_files(out, "part")
+        raw = open(os.path.join(out, files[0]), "rb").read()
+        assert "中文测试".encode("gbk") in raw
+        df = read_csv(os.path.join(out, "*.csv"), encoding="gbk").to_pandas()
+        assert sorted(df["f1"].tolist()) == sorted(["中文测试", "编码"])
+        # gzip + gbk compose
+        write_csv(rd.from_arrow(src), out, write_mode="truncate",
+                  encoding="gbk", compress="gzip")
+        df = read_csv(os.path.join(out, "*.csv.gz"),
+                      encoding="gbk").to_pandas()
+        assert sorted(df["f1"].tolist()) == sorted(["中文测试", "编码"])
+
     def test_read_csv_glob_and_dir(self, tmp_path):
         # TxtFileReader.java path entries may be globs or directories
         for i in range(3):
