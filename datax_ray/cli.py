@@ -91,6 +91,20 @@ def _build_reader(name: str, p: dict[str, Any]):
         from datax_ray.sources.files import read_jsonl
 
         return read_jsonl(p["path"], path_regex=p.get("pathRegex"))
+    if name == "seq":
+        # hdfsreader fileType=SEQ (DFSUtil.java:214-242): Text values are
+        # txtfilereader lines; pure-Python SequenceFile container
+        from datax_ray.sources.seqfile import read_seq_csv
+
+        return read_seq_csv(
+            p["path"],
+            columns=p.get("column"),
+            field_delimiter=p.get("fieldDelimiter", ","),
+            null_format=p.get("nullFormat"),
+            dead_letter_dir=p.get("deadLetterDir"),
+            encoding=p.get("encoding", "utf-8"),
+            path_regex=p.get("pathRegex"),
+        )
     if name == "orc":
         from datax_ray.sources.files import read_orc
 
@@ -166,6 +180,20 @@ def _run_writer(name: str, p: dict[str, Any], ds, resume: bool) -> dict[str, Any
         prepare_dir(p["path"], p.get("writeMode", "append"), prefix="")
         ds.write_json(p["path"])
         return {"rows": None, "path": p["path"]}
+    if name == "seq":
+        from datax_ray.sources.seqfile import write_seq_csv
+
+        report = write_seq_csv(
+            ds, p["path"],
+            write_mode=p.get("writeMode", "append"),
+            prefix=p.get("fileName", "part"),
+            field_delimiter=p.get("fieldDelimiter", ","),
+            null_format=p.get("nullFormat"),
+            codec=p.get("codec"),
+            block=p.get("blockCompressed", False),
+            encoding=p.get("encoding", "utf-8"),
+        )
+        return {"rows": sum(r["rows"] for r in report), "files": len(report)}
     if name == "orc":
         from datax_ray.sinks.orcsink import write_orc
 

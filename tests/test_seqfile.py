@@ -1,0 +1,197 @@
+"""Pure-Python SequenceFile container (sources/seqfile.py): golden bytes
+pinned from the published format spec, VInt known encodings, roundtrips
+in all three layouts, and the reference's SEQ-values-are-CSV-lines read
+semantics (DFSUtil.java:214-242)."""
+
+import io
+import struct
+import zlib
+
+import pytest
+
+from datax_ray.sources.seqfile import (
+    BYTES_CLASS,
+    DEFAULT_CODEC,
+    GZIP_CODEC,
+    TEXT_CLASS,
+    SequenceFileReader,
+    SequenceFileWriter,
+    read_seq_csv,
+    read_vint,
+    write_seq_csv,
+    write_vint,
+)
+
+
+class TestVInt:
+    # encodings from the Hadoop WritableUtils spec
+    KNOWN = [
+        (0, b"\x00"),
+        (127, b"\x7f"),
+        (-112, b"\x90"),
+        (128, bytes([0x8F, 0x80])),          # -113 marker + 1 byte
+        (-113, bytes([0x87, 0x70])),         # -121 marker + ~(-113)=112
+        (256, bytes([0x8E, 0x01, 0x00])),    # -114 marker + 2 bytes BE
+    ]
+
+    @pytest.mark.parametrize("value,encoded", KNOWN)
+    def test_known_encodings(self, value, encoded):
+        assert write_vint(value) == encoded
+        assert read_vint(io.BytesIO(encoded)) == value
+
+    @pytest.mark.parametrize(
+        "value", [0, 1, -1, 127, 128, -112, -113, 2**16, 2**31 - 1,
+                  2**40, -(2**40), 2**62]
+    )
+    def test_roundtrip(self, value):
+        assert read_vint(io.BytesIO(write_vint(value))) == value
+
+
+def golden_seq_bytes() -> bytes:
+    """A 2-record uncompressed Text/Text SequenceFile built BY HAND from
+    the published layout — independent of SequenceFileWriter."""
+    cls = b"\x19org.apache.hadoop.io.Text"  # VInt(25) + name
+    sync = bytes(range(16))
+    out = [b"SEQ\x06", cls, cls, b"\x00", b"\x00",
+           b"\x00\x00\x00\x00", sync]
+    for line in (b"1,alice", b"2,bob"):
+        key = b"\x02k1"                       # Text("k1") = VInt(2)+bytes
+        val = bytes([len(line)]) + line       # Text(line)
+        out.append(struct.pack(">ii", len(key) + len(val), len(key)))
+        out.append(key + val)
+    return b"".join(out)
+
+
+class TestGolden:
+    def test_read_hand_built_file(self, tmp_path):
+        p = tmp_path / "g.seq"
+        p.write_bytes(golden_seq_bytes())
+        with SequenceFileReader(str(p)) as r:
+            assert r.version == 6
+            assert r.key_class == TEXT_CLASS and r.value_class == TEXT_CLASS
+            assert not r.compressed and not r.block_compressed
+            rows = list(r)
+        assert rows == [(b"k1", b"1,alice"), (b"k1", b"2,bob")]
+
+    def test_writer_layout_matches_spec(self, tmp_path):
+        """Parse the writer's uncompressed output with raw struct ops (no
+        SequenceFileReader) — pins the writer to the documented layout."""
+        p = tmp_path / "w.seq"
+        with SequenceFileWriter(str(p)) as w:
+            w.append(b"k", b"hello")
+        raw = p.read_bytes()
+        assert raw[:4] == b"SEQ\x06"
+        f = io.BytesIO(raw[4:])
+        assert f.read(read_vint(f)).decode() == TEXT_CLASS
+        assert f.read(read_vint(f)).decode() == TEXT_CLASS
+        assert f.read(2) == b"\x00\x00"              # no codec, no block
+        assert struct.unpack(">i", f.read(4)) == (0,)  # empty metadata
+        f.read(16)                                    # sync
+        rec_len, key_len = struct.unpack(">ii", f.read(8))
+        key, val = f.read(key_len), f.read(rec_len - key_len)
+        assert key == b"\x01k" and val == b"\x05hello"
+        assert f.read() == b""
+
+    def test_record_compressed_value_is_zlib(self, tmp_path):
+        p = tmp_path / "c.seq"
+        with SequenceFileWriter(str(p), codec=DEFAULT_CODEC) as w:
+            w.append(b"", b"payload-payload-payload")
+        raw = p.read_bytes()
+        # skip header: magic+ver, 2 class strings, 2 flags, codec, meta, sync
+        f = io.BytesIO(raw[4:])
+        f.read(read_vint(f)); f.read(read_vint(f))
+        assert f.read(2) == b"\x01\x00"
+        assert f.read(read_vint(f)).decode() == DEFAULT_CODEC
+        struct.unpack(">i", f.read(4)); f.read(16)
+        rec_len, key_len = struct.unpack(">ii", f.read(8))
+        f.read(key_len)
+        blob = f.read(rec_len - key_len)
+        assert zlib.decompress(blob) == b"\x17payload-payload-payload"
+
+
+class TestRoundtrip:
+    CASES = [
+        dict(),                                # uncompressed
+        dict(codec=DEFAULT_CODEC),             # record + zlib
+        dict(codec=GZIP_CODEC),                # record + gzip
+        dict(block=True),                      # block (implies DefaultCodec)
+        dict(block=True, codec=GZIP_CODEC, block_records=3),
+    ]
+
+    @pytest.mark.parametrize("kw", CASES)
+    def test_roundtrip(self, tmp_path, kw):
+        rows = [(f"key{i}".encode(), f"{i},row{i},{'x' * (i % 7)}".encode())
+                for i in range(25)]
+        p = tmp_path / "t.seq"
+        with SequenceFileWriter(str(p), **kw) as w:
+            for k, v in rows:
+                w.append(k, v)
+        with SequenceFileReader(str(p)) as r:
+            assert list(r) == rows
+
+    def test_sync_escape_in_long_record_stream(self, tmp_path):
+        # >2000 bytes forces mid-stream sync escapes in record mode
+        rows = [(b"", (f"{i}," + "v" * 100).encode()) for i in range(100)]
+        p = tmp_path / "long.seq"
+        with SequenceFileWriter(str(p)) as w:
+            for k, v in rows:
+                w.append(k, v)
+        assert struct.pack(">I", 0xFFFFFFFF) in p.read_bytes()
+        with SequenceFileReader(str(p)) as r:
+            assert list(r) == rows
+
+    def test_bytes_writable_framing(self, tmp_path):
+        p = tmp_path / "b.seq"
+        with SequenceFileWriter(str(p), key_class=BYTES_CLASS,
+                                value_class=BYTES_CLASS) as w:
+            w.append(b"\x00\x01", b"\xff\xfe")
+        with SequenceFileReader(str(p)) as r:
+            assert list(r) == [(b"\x00\x01", b"\xff\xfe")]
+
+    def test_corrupt_sync_detected(self, tmp_path):
+        p = tmp_path / "bad.seq"
+        raw = bytearray(golden_seq_bytes())
+        # flip a byte inside the first record's sync-escape... instead,
+        # append a bogus sync escape with wrong marker
+        raw += struct.pack(">I", 0xFFFFFFFF) + b"wrong-sync-bytes"
+        p.write_bytes(bytes(raw))
+        with SequenceFileReader(str(p)) as r:
+            with pytest.raises(ValueError, match="sync marker mismatch"):
+                list(r)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSeqCsvDataset:
+    def test_write_read_roundtrip_typed(self, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        src = pa.table({
+            "id": [1, 2, 3],
+            "who": ["alice", None, "carol"],
+            "score": [1.5, 2.0, 3.25],
+        })
+        out = str(tmp_path / "seqdir")
+        report = write_seq_csv(rd.from_arrow(src), out, write_mode="truncate",
+                               codec=DEFAULT_CODEC)
+        assert sum(r["rows"] for r in report) == 3
+        ds = read_seq_csv(out + "/*.seq", columns=[
+            {"index": 0, "type": "long"},
+            {"index": 1, "type": "string"},
+            {"index": 2, "type": "double"},
+        ])
+        df = ds.to_pandas().sort_values("col0").reset_index(drop=True)
+        assert df["col0"].tolist() == [1, 2, 3]
+        assert df["col1"][1] is None          # nullFormat roundtrip
+        assert df["col2"].tolist() == [1.5, 2.0, 3.25]
+
+    def test_blank_values_skipped(self, tmp_path):
+        # DFSUtil.java:228: isNotBlank(value) gates record transport
+        p = tmp_path / "blanks.seq"
+        with SequenceFileWriter(str(p)) as w:
+            w.append(b"", b"1,one")
+            w.append(b"", b"   ")
+            w.append(b"", b"")
+            w.append(b"", b"2,two")
+        df = read_seq_csv(str(p)).to_pandas()
+        assert sorted(df["f0"].tolist()) == ["1", "2"]
