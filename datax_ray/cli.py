@@ -105,6 +105,19 @@ def _build_reader(name: str, p: dict[str, Any]):
             encoding=p.get("encoding", "utf-8"),
             path_regex=p.get("pathRegex"),
         )
+    if name == "rc":
+        # hdfsreader fileType=RC (DFSUtil.java:244-291): row cells are
+        # strings through the typed projection; pure-Python RCFile
+        from datax_ray.sources.rcfile import read_rc_csv
+
+        return read_rc_csv(
+            p["path"],
+            columns=p.get("column"),
+            null_format=p.get("nullFormat"),
+            dead_letter_dir=p.get("deadLetterDir"),
+            encoding=p.get("encoding", "utf-8"),
+            path_regex=p.get("pathRegex"),
+        )
     if name == "orc":
         from datax_ray.sources.files import read_orc
 
@@ -191,6 +204,18 @@ def _run_writer(name: str, p: dict[str, Any], ds, resume: bool) -> dict[str, Any
             null_format=p.get("nullFormat"),
             codec=p.get("codec"),
             block=p.get("blockCompressed", False),
+            encoding=p.get("encoding", "utf-8"),
+        )
+        return {"rows": sum(r["rows"] for r in report), "files": len(report)}
+    if name == "rc":
+        from datax_ray.sources.rcfile import write_rc
+
+        report = write_rc(
+            ds, p["path"],
+            write_mode=p.get("writeMode", "append"),
+            prefix=p.get("fileName", "part"),
+            null_format=p.get("nullFormat"),
+            codec=p.get("codec", "org.apache.hadoop.io.compress.DefaultCodec"),
             encoding=p.get("encoding", "utf-8"),
         )
         return {"rows": sum(r["rows"] for r in report), "files": len(report)}

@@ -1,0 +1,354 @@
+"""Pure-Python Hive RCFile reader/writer (no JVM needed).
+
+The reference reads RC files row-group by row-group and ships each row
+as an array of per-column STRINGS through the standard column
+projection (hdfsreader/.../DFSUtil.java:244-291 ``rcFileStartRead``:
+``BytesRefArrayWritable`` → ``Text`` per cell →
+``transportOneRecord(column, sourceLine, nullFormat)``). This module
+implements the RCFile container from the published format (the
+RCFile.java class javadoc layout, Hive 0.x onward):
+
+    header:  "RCF" + version(1B)            (legacy: "SEQ" + 6 + the
+             KeyBuffer/ValueBuffer class names — also accepted on read)
+             compressed(1B bool)
+             [codecClassName if compressed]  (VInt len + UTF-8)
+             metadata: int32-BE count, then count x (Text key, Text val)
+             — carries ``hive.io.rcfile.column.number``
+             sync: 16 bytes
+    row group, preceded by a sync escape (int32 -1 + 16-byte sync):
+             recordLength(int32), keyLength(int32),
+             compressedKeyLength(int32), then the key section
+             (codec-compressed when compressed):
+               VInt numberRows
+               per column: VInt valueBytes (on-disk size),
+                           VInt uncompressedValueBytes,
+                           VInt lengthsBufferSize + lengths buffer
+               lengths buffer: VInt cell lengths with the RCFile
+               run-length rule — a NEGATIVE VInt ``v`` means the
+               previous length repeats ``~v`` more times
+             value section: per column, valueBytes of concatenated cell
+             bytes (codec-compressed PER COLUMN when compressed)
+
+Codecs: DefaultCodec (zlib) and GzipCodec, like sources/seqfile.py.
+Honesty note: no JVM exists in this sandbox, so conformance is pinned
+by byte-exact golden fixtures written from the published spec
+(tests/test_rcfile.py), not by Hive itself.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+
+from datax_ray.sources.seqfile import (
+    DEFAULT_CODEC,
+    SYNC_ESCAPE,
+    _compressor,
+    _decompressor,
+    _read_hstring,
+    _write_hstring,
+    read_vint,
+    write_vint,
+)
+
+RCF_MAGIC = b"RCF"
+LEGACY_KEY_CLASS = "org.apache.hadoop.hive.ql.io.RCFile$KeyBuffer"
+LEGACY_VALUE_CLASS = "org.apache.hadoop.hive.ql.io.RCFile$ValueBuffer"
+COLUMN_NUMBER_KEY = "hive.io.rcfile.column.number"
+
+
+def _write_lengths_rle(lengths: list[int]) -> bytes:
+    """RCFile ColumnBuffer cell-length encoding: VInt length, then a
+    negative VInt ~run for each run of repeats."""
+    out = []
+    prev, run = None, 0
+    for n in lengths:
+        if n == prev:
+            run += 1
+            continue
+        if prev is not None and run:
+            out.append(write_vint(~run))
+        out.append(write_vint(n))
+        prev, run = n, 0
+    if prev is not None and run:
+        out.append(write_vint(~run))
+    return b"".join(out)
+
+
+def _read_lengths_rle(buf: bytes, n_rows: int) -> list[int]:
+    f = io.BytesIO(buf)
+    out: list[int] = []
+    while len(out) < n_rows:
+        v = read_vint(f)
+        if v < 0:
+            out.extend([out[-1]] * (~v))
+        else:
+            out.append(v)
+    return out[:n_rows]
+
+
+class RCFileReader:
+    """Iterates rows as tuples of per-column ``bytes`` cells."""
+
+    def __init__(self, path_or_file):
+        self._own = isinstance(path_or_file, (str, os.PathLike))
+        self.f = open(path_or_file, "rb") if self._own else path_or_file
+        magic = self.f.read(3)
+        if magic == RCF_MAGIC:
+            self.version = self.f.read(1)[0]
+        elif magic == b"SEQ":  # legacy header embeds the class names
+            self.version = self.f.read(1)[0]
+            kc, vc = _read_hstring(self.f), _read_hstring(self.f)
+            if (kc, vc) != (LEGACY_KEY_CLASS, LEGACY_VALUE_CLASS):
+                raise ValueError(f"not an RCFile (SEQ of {kc}/{vc})")
+        else:
+            raise ValueError(f"not an RCFile (magic {magic!r})")
+        self.compressed = self.f.read(1) != b"\x00"
+        if magic == b"SEQ" and self.f.read(1) != b"\x00":
+            raise ValueError("RCFile legacy header: blockCompressed must be false")
+        self.codec = _read_hstring(self.f) if self.compressed else None
+        self._decomp = _decompressor(self.codec)
+        self.metadata = {}
+        (n_meta,) = struct.unpack(">i", self.f.read(4))
+        for _ in range(n_meta):
+            k = _read_hstring(self.f)
+            self.metadata[k] = _read_hstring(self.f)
+        self.n_columns = int(self.metadata[COLUMN_NUMBER_KEY])
+        self.sync = self.f.read(16)
+
+    def __iter__(self):
+        while True:
+            head = self.f.read(4)
+            if len(head) < 4:
+                return
+            (first,) = struct.unpack(">I", head)
+            if first == SYNC_ESCAPE:
+                if self.f.read(16) != self.sync:
+                    raise ValueError("RCFile sync marker mismatch (corrupt file)")
+                head = self.f.read(4)
+                if len(head) < 4:
+                    return
+                (first,) = struct.unpack(">I", head)
+            # first == recordLength (unused beyond validation)
+            (key_len,) = struct.unpack(">i", self.f.read(4))
+            (ckey_len,) = struct.unpack(">i", self.f.read(4))
+            key = self.f.read(ckey_len)
+            if self.compressed:
+                key = self._decomp(key)
+            if len(key) != key_len:
+                raise ValueError("RCFile key section length mismatch")
+            kf = io.BytesIO(key)
+            n_rows = read_vint(kf)
+            col_meta = []
+            for _ in range(self.n_columns):
+                disk_bytes = read_vint(kf)
+                read_vint(kf)  # uncompressed size (recomputed from cells)
+                len_buf = kf.read(read_vint(kf))
+                col_meta.append((disk_bytes, _read_lengths_rle(len_buf, n_rows)))
+            columns = []
+            for disk_bytes, lengths in col_meta:
+                blob = self.f.read(disk_bytes)
+                if self.compressed:
+                    blob = self._decomp(blob)
+                cells, off = [], 0
+                for ln in lengths:
+                    cells.append(blob[off : off + ln])
+                    off += ln
+                columns.append(cells)
+            for row in zip(*columns) if columns else []:
+                yield row
+
+    def close(self):
+        if self._own:
+            self.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class RCFileWriter:
+    """Writes version-1 ``RCF`` files; one row group per ``flush()`` (or
+    every ``group_rows`` appends). Deterministic sync like the SEQ
+    writer so outputs are byte-stable."""
+
+    def __init__(self, path_or_file, n_columns: int, *,
+                 codec: str | None = None, group_rows: int = 4096,
+                 metadata: dict[str, str] | None = None, sync_seed: int = 0):
+        self._own = isinstance(path_or_file, (str, os.PathLike))
+        self.f = open(path_or_file, "wb") if self._own else path_or_file
+        self.n_columns = n_columns
+        self.codec = codec
+        self._comp = _compressor(codec)
+        self.group_rows = group_rows
+        import hashlib
+
+        self.sync = hashlib.md5(f"rcsync-{sync_seed}".encode()).digest()
+        self._rows: list[tuple[bytes, ...]] = []
+        f = self.f
+        f.write(RCF_MAGIC + bytes([1]))
+        f.write(b"\x01" if codec else b"\x00")
+        if codec:
+            f.write(_write_hstring(codec))
+        meta = dict(metadata or {})
+        meta[COLUMN_NUMBER_KEY] = str(n_columns)
+        f.write(struct.pack(">i", len(meta)))
+        for k, v in meta.items():
+            f.write(_write_hstring(k) + _write_hstring(v))
+        f.write(self.sync)
+
+    def append(self, row: tuple[bytes, ...] | list[bytes]):
+        if len(row) != self.n_columns:
+            raise ValueError(f"row has {len(row)} cells, expected {self.n_columns}")
+        self._rows.append(tuple(row))
+        if len(self._rows) >= self.group_rows:
+            self.flush()
+
+    def flush(self):
+        if not self._rows:
+            return
+        columns = list(zip(*self._rows))
+        col_blobs, key = [], [write_vint(len(self._rows))]
+        for cells in columns:
+            raw = b"".join(cells)
+            blob = self._comp(raw)
+            col_blobs.append(blob)
+            len_buf = _write_lengths_rle([len(c) for c in cells])
+            key.append(write_vint(len(blob)) + write_vint(len(raw))
+                       + write_vint(len(len_buf)) + len_buf)
+        key_raw = b"".join(key)
+        key_disk = self._comp(key_raw)
+        record_len = len(key_disk) + sum(len(b) for b in col_blobs)
+        f = self.f
+        f.write(struct.pack(">I", SYNC_ESCAPE) + self.sync)
+        f.write(struct.pack(">iii", record_len, len(key_raw), len(key_disk)))
+        f.write(key_disk)
+        for blob in col_blobs:
+            f.write(blob)
+        self._rows = []
+
+    def close(self):
+        self.flush()
+        if self._own:
+            self.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+# ------------------------------------------------------- Dataset surface
+def read_rc_csv(
+    paths,
+    *,
+    columns=None,
+    null_format: str | None = None,
+    dead_letter_dir: str | None = None,
+    encoding: str = "utf-8",
+    path_regex: str | None = None,
+):
+    """hdfsreader fileType=RC: each row's cells arrive as strings and go
+    through the standard typed projection (DFSUtil.java:263-272). One
+    Ray task per file (RC row groups are not split without a sync scan,
+    matching the reference's one-reader-per-file contract); cells decode
+    into Arrow string columns in bulk, never row-by-row Python casts."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from datax_ray.sources.csvsource import (
+        DEFAULT_NULL_FORMAT, ColumnEntry, CsvProjection)
+    from datax_ray.sources.files import list_files
+
+    files = list_files(paths, path_regex=path_regex)
+    if not files:
+        raise FileNotFoundError(f"RC path matched no files: {paths}")
+    entries = None
+    if columns is not None:
+        entries = [c if isinstance(c, ColumnEntry) else ColumnEntry(**c)
+                   for c in columns]
+    with RCFileReader(files[0]) as r:
+        ncols = r.n_columns
+    col_names = [f"f{i}" for i in range(ncols)]
+
+    def parse_rc(t: pa.Table) -> pa.Table:
+        from datax_ray.sources.files import open_input
+
+        per_col: list[list[bytes]] = [[] for _ in range(ncols)]
+        for path in t["path"].to_pylist():
+            with open_input(path) as fh:
+                with RCFileReader(fh) as r:
+                    if r.n_columns != ncols:
+                        raise ValueError(
+                            f"{path}: {r.n_columns} columns, expected {ncols}")
+                    for row in r:
+                        for i, cell in enumerate(row):
+                            per_col[i].append(cell)
+        if not per_col[0] and ncols:
+            return pa.schema([(c, pa.string()) for c in col_names]).empty_table()
+        arrays = [pa.array(cells, pa.binary()).cast(pa.string())
+                  if encoding in ("utf-8", "utf8", "ascii")
+                  else pa.array([c.decode(encoding) for c in cells], pa.string())
+                  for cells in per_col]
+        return pa.table(dict(zip(col_names, arrays)))
+
+    ds = rd.from_items([{"path": str(p)} for p in files]).map_batches(
+        parse_rc, batch_format="pyarrow", batch_size=1)
+    proj = CsvProjection(entries, null_format=null_format or DEFAULT_NULL_FORMAT,
+                         dead_letter_dir=dead_letter_dir)
+    return ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_rc(ds, path: str, *, write_mode: str = "append",
+             prefix: str = "part", null_format: str | None = None,
+             codec: str | None = DEFAULT_CODEC, group_rows: int = 4096,
+             encoding: str = "utf-8") -> list[dict]:
+    """Write a Dataset as RCFiles (cells = stringified values, reference
+    conventions: dates formatted, bools true/false, nulls as nullFormat)."""
+    import uuid
+
+    import pyarrow as pa
+
+    from datax_ray.sinks.csvsink import DEFAULT_NULL_FORMAT, prepare_dir
+
+    prepare_dir(path, write_mode, prefix)
+    nf = null_format or DEFAULT_NULL_FORMAT
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        str_cols = _stringify(batch, nf, "%Y-%m-%d %H:%M:%S")
+        enc = (lambda s: s.encode(encoding)) if encoding not in (
+            "utf-8", "utf8", "ascii") else (lambda s: s.encode())
+        name = f"{prefix}__{uuid.uuid4().hex}.rc"
+        tmp = os.path.join(path, f".tmp.{name}")
+        final = os.path.join(path, name)
+        with RCFileWriter(tmp, len(str_cols), codec=codec,
+                          group_rows=group_rows) as w:
+            for row in zip(*str_cols):
+                w.append([enc(c) for c in row])
+        os.replace(tmp, final)
+        return pa.table({"file": [final], "rows": [batch.num_rows]})
+
+    return ds.map_batches(write_block, batch_format="pyarrow").take_all()
+
+
+def _stringify(batch, null_format: str, date_format: str) -> list[list[str]]:
+    """Vectorized per-column stringification with the sink conventions."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = []
+    for name in batch.column_names:
+        col = batch[name]
+        if pa.types.is_timestamp(col.type):
+            src = col if "%f" in date_format else col.cast(pa.timestamp("s"))
+            col = pc.strftime(src, format=date_format)
+        elif pa.types.is_boolean(col.type):
+            col = pc.if_else(col, "true", "false")
+        else:
+            col = col.cast(pa.string())
+        out.append(pc.fill_null(col, null_format).to_pylist())
+    return out
