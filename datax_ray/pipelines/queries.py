@@ -347,6 +347,51 @@ def q_csv_lzo_roundtrip(sf_dir: str):
     )
 
 
+def q_seq_roundtrip(sf_dir: str):
+    """reader→writer round-trip through Hadoop SequenceFiles
+    (DFSUtil.java:214-242 fileType=SEQ: Text values are CSV lines):
+    write record-deflate SEQ, read back through the pure-Python
+    container (sources/seqfile.py)."""
+    from datax_ray.sources.seqfile import DEFAULT_CODEC, read_seq_csv, write_seq_csv
+
+    out = ("/tmp/datax_ray_q/seq_roundtrip_"
+           f"{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    write_seq_csv(ds, out, write_mode="truncate", codec=DEFAULT_CODEC)
+    return read_seq_csv(
+        out + "/*.seq",
+        columns=[
+            {"index": 0, "type": "long", "name": "r_regionkey"},
+            {"index": 1, "type": "string", "name": "r_name"},
+        ],
+    )
+
+
+def q_rc_roundtrip(sf_dir: str):
+    """reader→writer round-trip through Hive RCFiles
+    (DFSUtil.java:244-291 fileType=RC: row cells as strings through the
+    typed projection): write DefaultCodec-compressed columnar row
+    groups, read back through the pure-Python container
+    (sources/rcfile.py)."""
+    from datax_ray.sources.rcfile import read_rc_csv, write_rc
+
+    out = ("/tmp/datax_ray_q/rc_roundtrip_"
+           f"{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "customer",
+               columns=["c_custkey", "c_name", "c_mktsegment"])
+    write_rc(ds, out, write_mode="truncate")
+    return read_rc_csv(
+        out + "/*.rc",
+        columns=[
+            {"index": 0, "type": "long", "name": "c_custkey"},
+            {"index": 1, "type": "string", "name": "c_name"},
+            {"index": 2, "type": "string", "name": "c_mktsegment"},
+        ],
+    )
+
+
 def q_querysql_read(sf_dir: str):
     """querySql-mode reader (ReaderSplitUtil.java:92-102 analogue): the
     user supplies raw SQL slices as the split contract — two DuckDB
@@ -1817,6 +1862,14 @@ LEFT JOIN won tl ON tl.conv_id = a.conv_id AND tl.turn_idx = a.turn_idx
         "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name "
         "FROM nation"
     ),
+    "seq_roundtrip": (
+        "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name "
+        "FROM region"
+    ),
+    "rc_roundtrip": (
+        "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, "
+        "c_mktsegment FROM customer"
+    ),
     "querysql_read": """
 SELECT o_orderpriority, count(*) AS n,
   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
@@ -2579,4 +2632,6 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_exact": q_dedup_exact,
+    "seq_roundtrip": q_seq_roundtrip,
+    "rc_roundtrip": q_rc_roundtrip,
 }
