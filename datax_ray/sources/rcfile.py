@@ -117,7 +117,10 @@ class RCFileReader:
         self.n_columns = int(self.metadata[COLUMN_NUMBER_KEY])
         self.sync = self.f.read(16)
 
-    def __iter__(self):
+    def iter_groups(self):
+        """Yields row groups as (n_rows, [(lengths, blob), ...] per
+        column) — the raw columnar form, so callers can build Arrow
+        arrays straight from cumsum(lengths) offsets over the blob."""
         while True:
             head = self.f.read(4)
             if len(head) < 4:
@@ -146,11 +149,18 @@ class RCFileReader:
                 read_vint(kf)  # uncompressed size (recomputed from cells)
                 len_buf = kf.read(read_vint(kf))
                 col_meta.append((disk_bytes, _read_lengths_rle(len_buf, n_rows)))
-            columns = []
+            group = []
             for disk_bytes, lengths in col_meta:
                 blob = self.f.read(disk_bytes)
                 if self.compressed:
                     blob = self._decomp(blob)
+                group.append((lengths, blob))
+            yield n_rows, group
+
+    def __iter__(self):
+        for _n_rows, group in self.iter_groups():
+            columns = []
+            for lengths, blob in group:
                 cells, off = [], 0
                 for ln in lengths:
                     cells.append(blob[off : off + ln])
@@ -275,25 +285,48 @@ def read_rc_csv(
         ncols = r.n_columns
     col_names = [f"f{i}" for i in range(ncols)]
 
+    utf8 = encoding in ("utf-8", "utf8", "ascii")
+
     def parse_rc(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         from datax_ray.sources.files import open_input
 
-        per_col: list[list[bytes]] = [[] for _ in range(ncols)]
+        chunks: list[list[pa.Array]] = [[] for _ in range(ncols)]
         for path in t["path"].to_pylist():
             with open_input(path) as fh:
                 with RCFileReader(fh) as r:
                     if r.n_columns != ncols:
                         raise ValueError(
                             f"{path}: {r.n_columns} columns, expected {ncols}")
-                    for row in r:
-                        for i, cell in enumerate(row):
-                            per_col[i].append(cell)
-        if not per_col[0] and ncols:
+                    for n_rows, group in r.iter_groups():
+                        for i, (lengths, blob) in enumerate(group):
+                            if utf8:
+                                # Arrow array straight from the group's
+                                # columnar layout: offsets =
+                                # cumsum(lengths), values = blob — no
+                                # per-cell Python slicing
+                                offs = np.zeros(n_rows + 1, dtype=np.int32)
+                                np.cumsum(lengths, out=offs[1:])
+                                arr = pa.Array.from_buffers(
+                                    pa.binary(), n_rows,
+                                    [None, pa.py_buffer(offs.tobytes()),
+                                     pa.py_buffer(blob)])
+                            else:
+                                # transcoding changes cell byte lengths:
+                                # per-cell decode (format-compat path)
+                                cells, off = [], 0
+                                for ln in lengths:
+                                    cells.append(
+                                        blob[off:off + ln].decode(encoding))
+                                    off += ln
+                                arr = pa.array(cells, pa.string()).cast(
+                                    pa.binary())
+                            chunks[i].append(arr)
+        if not chunks[0] and ncols:
             return pa.schema([(c, pa.string()) for c in col_names]).empty_table()
-        arrays = [pa.array(cells, pa.binary()).cast(pa.string())
-                  if encoding in ("utf-8", "utf8", "ascii")
-                  else pa.array([c.decode(encoding) for c in cells], pa.string())
-                  for cells in per_col]
+        arrays = [pa.chunked_array(c, pa.binary()).cast(pa.string())
+                  for c in chunks]
         return pa.table(dict(zip(col_names, arrays)))
 
     ds = rd.from_items([{"path": str(p)} for p in files]).map_batches(

@@ -182,6 +182,17 @@ class TestRoundtrip:
 
 @pytest.mark.usefixtures("ray_session")
 class TestRcCsvDataset:
+    def test_gbk_cells_roundtrip(self, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        src = pa.table({"id": [1, 2], "who": ["中文测试", "编码"]})
+        out = str(tmp_path / "gbkrc")
+        write_rc(rd.from_arrow(src), out, write_mode="truncate",
+                 encoding="gbk")
+        df = read_rc_csv(out + "/*.rc", encoding="gbk").to_pandas()
+        assert sorted(df["f1"].tolist()) == sorted(["中文测试", "编码"])
+
     def test_write_read_roundtrip_typed(self, tmp_path):
         import pyarrow as pa
         import ray.data as rd
