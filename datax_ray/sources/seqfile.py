@@ -397,7 +397,15 @@ def write_seq_csv(ds, path: str, *, write_mode: str = "append",
                   null_format: str | None = None, codec: str | None = None,
                   block: bool = False, encoding: str = "utf-8") -> list[dict]:
     """Write a Dataset as SEQ files of Text(key=NullWritable-ish empty,
-    value=CSV line) — the symmetric sink for read_seq_csv."""
+    value=CSV line) — the symmetric sink for read_seq_csv.
+
+    Line-orientation caveat (inherent to the reference's SEQ semantics,
+    DFSUtil.java:227-231): a cell with an embedded newline serializes as
+    a CSV-quoted multi-line value and lands as MULTIPLE SEQ records;
+    read_seq_csv re-joins values with newlines before parsing, so such
+    rows round-trip through OUR reader, but a plain line-at-a-time SEQ
+    consumer (like the reference) sees split lines — and an all-blank
+    interior line of such a field would be dropped by the blank filter."""
     import uuid
 
     import pyarrow as pa
