@@ -2592,8 +2592,11 @@ QUERIES = {
     "cdc_table_changes": q_cdc_table_changes,
     "cdc_time_travel_retained": q_cdc_time_travel_retained,
     "dx_substr": q_dx_substr,
-    "dx_pad": q_dx_pad,
-    "dx_replace": q_dx_replace,
+    # seq/rc_roundtrip are r5-new (pure-Python SEQ/RC containers) and
+    # take these two first-50 slots from dx_pad/dx_replace, which are
+    # double-green (r3 AND r4) — after r5 every query has a driver row.
+    "seq_roundtrip": q_seq_roundtrip,
+    "rc_roundtrip": q_rc_roundtrip,
     "dx_filter_like": q_dx_filter_like,
     "transform_chain": q_transform_chain,
     "copy_project_filter": q_copy_project_filter,
@@ -2632,6 +2635,6 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_exact": q_dedup_exact,
-    "seq_roundtrip": q_seq_roundtrip,
-    "rc_roundtrip": q_rc_roundtrip,
+    "dx_pad": q_dx_pad,
+    "dx_replace": q_dx_replace,
 }
