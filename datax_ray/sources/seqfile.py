@@ -158,10 +158,11 @@ class SequenceFileReader:
         self.codec = _read_hstring(self.f) if self.compressed else None
         self._decomp = _decompressor(self.codec)
         self.metadata = {}
-        (n_meta,) = struct.unpack(">i", self.f.read(4))
-        for _ in range(n_meta):
-            k = _read_hstring(self.f)
-            self.metadata[k] = _read_hstring(self.f)
+        if self.version >= 6:  # VERSION_WITH_METADATA; v5 has no section
+            (n_meta,) = struct.unpack(">i", self.f.read(4))
+            for _ in range(n_meta):
+                k = _read_hstring(self.f)
+                self.metadata[k] = _read_hstring(self.f)
         self.sync = self.f.read(16)
 
     def __iter__(self):

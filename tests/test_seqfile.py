@@ -73,6 +73,18 @@ class TestGolden:
             rows = list(r)
         assert rows == [(b"k1", b"1,alice"), (b"k1", b"2,bob")]
 
+    def test_version5_has_no_metadata_section(self, tmp_path):
+        # v5 predates VERSION_WITH_METADATA: header goes straight from
+        # the flags to the sync marker
+        cls = b"\x19org.apache.hadoop.io.Text"
+        sync = bytes(range(16))
+        rec = (struct.pack(">ii", 7, 3) + b"\x02k1" + b"\x03abc")
+        p = tmp_path / "v5.seq"
+        p.write_bytes(b"SEQ\x05" + cls + cls + b"\x00\x00" + sync + rec)
+        with SequenceFileReader(str(p)) as r:
+            assert r.version == 5 and r.metadata == {}
+            assert list(r) == [(b"k1", b"abc")]
+
     def test_writer_layout_matches_spec(self, tmp_path):
         """Parse the writer's uncompressed output with raw struct ops (no
         SequenceFileReader) — pins the writer to the documented layout."""
