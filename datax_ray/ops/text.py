@@ -300,3 +300,32 @@ def chunk_documents(batch: pa.Table, *, text_col: str = "text",
         "n_tokens": pa.array(lens),
         "chunk_text": pc.binary_join(windows, " "),
     })
+
+
+# --------------------------------------------------------------- PII redaction
+# Default patterns are RE2-compatible (pyarrow and DuckDB both run RE2, so
+# a query and its SQL oracle share exact semantics). Order matters: email
+# before phone so the digits of a mailbox aren't partially phone-matched.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d{1,3}-\d{3}-\d{3,4}(-\d{3,4})?", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(batch: pa.Table, col: str = "text", out: str | None = None,
+               patterns: list[tuple[str, str]] = PII_PATTERNS) -> pa.Table:
+    """Vectorized PII scrub for training-data curation: each (regex,
+    replacement) applies globally per document via Arrow's RE2 kernel —
+    one C++ pass per pattern, no Python per-row work. Use inside
+    ``map_batches(redact_pii, batch_format="pyarrow")``; at 100 TB the
+    cost is a few streaming regex passes over the text column, no
+    shuffle. ``out=None`` replaces the column in place."""
+    s = batch[col]
+    for pattern, replacement in patterns:
+        s = pc.replace_substring_regex(s, pattern=pattern,
+                                       replacement=replacement)
+    if out is None:
+        return batch.set_column(batch.schema.get_field_index(col), col, s)
+    return batch.append_column(out, s)

@@ -1085,6 +1085,34 @@ def q_text_tokens(sf_dir: str):
     )
 
 
+def q_redact_pii(sf_dir: str):
+    """PII scrub for training data (ops/text.redact_pii): the synthetic
+    documents carry no real PII, so both sides deterministically append
+    a contact blurb derived from doc_id (email, phone, ssn, ip), then
+    redact — exercising the full RE2 pattern set with an exact SQL
+    mirror (DuckDB also runs RE2)."""
+    import pyarrow.compute as pc
+
+    from datax_ray.ops.text import redact_pii
+
+    def augment_and_redact(t):
+        import numpy as np
+
+        ids = np.asarray(t["doc_id"])
+        did = pc.cast(t["doc_id"], pa.string())
+        phone = pc.utf8_lpad(pa.array((ids % 10000).astype("U")), 4, "0")
+        octet = pa.array((ids % 250).astype("U"))
+        aug = pc.binary_join_element_wise(
+            t["text"], " contact user", did, "@mail.example.com tel +1-555-",
+            phone, " ssn 123-45-6789 ip 10.0.0.", octet, "")
+        out = pa.table({"doc_id": t["doc_id"], "text": aug})
+        return redact_pii(out).rename_columns(["doc_id", "redacted"])
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(augment_and_redact, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_text_quality(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
@@ -2310,6 +2338,23 @@ SELECT doc_id,
        AS BIGINT) AS n_bpe_tokens
 FROM documents
 """.strip(),
+    "redact_pii": r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@mail.example.com tel +1-555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' ssn 123-45-6789 ip 10.0.0.'
+               || CAST(doc_id % 250 AS VARCHAR),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\+?\d{1,3}-\d{3}-\d{3,4}(-\d{3,4})?', '<PHONE>', 'g'),
+      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+FROM documents
+""".strip(),
     "text_quality": r"""
 SELECT doc_id,
   round(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))
@@ -2567,6 +2612,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
     "text_tokens": q_text_tokens,
+    "redact_pii": q_redact_pii,
     "text_quality": q_text_quality,
     "quality_filter": q_quality_filter,
     "text_langid": q_text_langid,
@@ -2599,7 +2645,6 @@ QUERIES = {
     "rc_roundtrip": q_rc_roundtrip,
     "dx_filter_like": q_dx_filter_like,
     "transform_chain": q_transform_chain,
-    "copy_project_filter": q_copy_project_filter,
     "csv_roundtrip": q_csv_roundtrip,
     "querysql_read": q_querysql_read,
     "orc_roundtrip": q_orc_roundtrip,
@@ -2637,4 +2682,5 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dx_pad": q_dx_pad,
     "dx_replace": q_dx_replace,
+    "copy_project_filter": q_copy_project_filter,
 }

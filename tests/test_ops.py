@@ -260,3 +260,37 @@ class TestHyperLogLog:
         ).fetchone()[0]
         est = distributed_distinct_count(ds, "o_custkey", p=12)
         assert abs(est - true) / true < 0.05
+
+
+class TestRedactPII:
+    def test_patterns(self):
+        import pyarrow as pa
+
+        from datax_ray.ops.text import redact_pii
+
+        t = pa.table({"text": [
+            "mail bob.smith+x@corp.example.co.uk now",
+            "call +1-555-0100 or 212-555-1234 ext",
+            "ssn 123-45-6789 and ip 192.168.10.250",
+            "no pii here",
+            None,
+        ]})
+        out = redact_pii(t)["text"].to_pylist()
+        assert out == [
+            "mail <EMAIL> now",
+            "call <PHONE> or <PHONE> ext",
+            "ssn <SSN> and ip <IP>",
+            "no pii here",
+            None,
+        ]
+
+    def test_out_column_and_custom_patterns(self):
+        import pyarrow as pa
+
+        from datax_ray.ops.text import redact_pii
+
+        t = pa.table({"text": ["secret token abc123"]})
+        out = redact_pii(t, out="clean",
+                         patterns=[(r"abc\d+", "<TOKEN>")])
+        assert out["text"].to_pylist() == ["secret token abc123"]
+        assert out["clean"].to_pylist() == ["secret token <TOKEN>"]
