@@ -329,3 +329,26 @@ def redact_pii(batch: pa.Table, col: str = "text", out: str | None = None,
     if out is None:
         return batch.set_column(batch.schema.get_field_index(col), col, s)
     return batch.append_column(out, s)
+
+
+def add_repetition(batch: pa.Table, col: str = "text", out: str = "rep_ratio",
+                   digits: int = 6) -> pa.Table:
+    """Gopher-style repetition signal: fraction of tokens that are
+    repeats of an earlier token in the same document
+    (1 − distinct/total, whitespace tokens). Exact and vectorized:
+    Arrow split → dictionary-encode (exact codes, no hash collisions) →
+    one np.unique over (doc, code) keys. Map-only; at 100 TB this is a
+    per-batch kernel pass with no shuffle."""
+    s = batch[col]
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    toks = pc.split_pattern(s, " ")
+    total = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    codes_arr = toks.flatten().dictionary_encode().indices
+    codes = codes_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), total)
+    uniq = np.unique((doc_of << 32) | codes)
+    distinct = np.bincount(uniq >> 32, minlength=len(batch))
+    denom = np.maximum(total, 1).astype(np.float64)  # split never yields
+    rep = np.round(1.0 - distinct / denom, digits)   # [] but guard anyway
+    return batch.append_column(out, pa.array(rep, pa.float64()))

@@ -1113,6 +1113,20 @@ def q_redact_pii(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def q_repetition_ratio(sf_dir: str):
+    """Gopher-style repeated-token fraction per document
+    (ops/text.add_repetition): exact distinct counting via
+    dictionary-encode, one kernel pass per batch, no shuffle."""
+    from datax_ray.ops.text import add_repetition
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: add_repetition(t).select(["doc_id", "rep_ratio"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_text_quality(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
@@ -2355,6 +2369,15 @@ SELECT doc_id,
     '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
 FROM documents
 """.strip(),
+    "repetition_ratio": r"""
+SELECT doc_id,
+  round(1.0 - CAST(cnt_d AS DOUBLE) / greatest(CAST(cnt AS DOUBLE), 1.0), 6)
+    AS rep_ratio
+FROM (
+  SELECT doc_id, count(*) AS cnt, count(DISTINCT w) AS cnt_d
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+  GROUP BY doc_id)
+""".strip(),
     "text_quality": r"""
 SELECT doc_id,
   round(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))
@@ -2613,6 +2636,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "text_tokens": q_text_tokens,
     "redact_pii": q_redact_pii,
+    "repetition_ratio": q_repetition_ratio,
     "text_quality": q_text_quality,
     "quality_filter": q_quality_filter,
     "text_langid": q_text_langid,
@@ -2646,7 +2670,6 @@ QUERIES = {
     "dx_filter_like": q_dx_filter_like,
     "transform_chain": q_transform_chain,
     "csv_roundtrip": q_csv_roundtrip,
-    "querysql_read": q_querysql_read,
     "orc_roundtrip": q_orc_roundtrip,
     # csv_snappy/lzo_roundtrip are r5-new and have never had a driver row;
     # they take the last two first-50 slots from stream_constants and
@@ -2683,4 +2706,5 @@ QUERIES = {
     "dx_pad": q_dx_pad,
     "dx_replace": q_dx_replace,
     "copy_project_filter": q_copy_project_filter,
+    "querysql_read": q_querysql_read,
 }

@@ -294,3 +294,25 @@ class TestRedactPII:
                          patterns=[(r"abc\d+", "<TOKEN>")])
         assert out["text"].to_pylist() == ["secret token abc123"]
         assert out["clean"].to_pylist() == ["secret token <TOKEN>"]
+
+
+class TestRepetition:
+    def test_known_ratios(self):
+        import pyarrow as pa
+
+        from datax_ray.ops.text import add_repetition
+
+        t = pa.table({"text": ["a b c", "a a a a", "x y x y", ""]})
+        assert add_repetition(t)["rep_ratio"].to_pylist() == [
+            0.0, 0.75, 0.5, 0.0]
+
+    def test_multibatch_alignment(self):
+        # dictionary codes are per-flatten; doc attribution must follow
+        # the ORIGINAL list lengths
+        import pyarrow as pa
+
+        from datax_ray.ops.text import add_repetition
+
+        t = pa.table({"text": ["w w", "w v", "v v v"]})
+        assert add_repetition(t)["rep_ratio"].to_pylist() == [
+            0.5, 0.0, round(2 / 3, 6)]
